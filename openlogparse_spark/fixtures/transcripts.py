@@ -43,7 +43,7 @@ TOOL_CATEGORY = {
 TOOL_RISK = {
     "bash": "high", "read": "low", "write": "medium", "edit": "medium",
     "grep": "low", "glob": "low", "web_fetch": "medium", "web_search": "low",
-    "sql": "medium", "python": "high", "browser": "high", "mail": "medium",
+    "sql": "medium", "python": "high", "browser": "high", "mail": "high",
 }
 TOOL_SIDE_EFFECTS = {
     "bash": True, "read": False, "write": True, "edit": True, "grep": False,
@@ -210,7 +210,8 @@ def generate_transcripts(n_rows: int, seed: int = SEED) -> dict[str, pd.DataFram
     # --- row-piece splits: 0.3% of uncorrupted rows with >=4 tokens --------
     n_tok = df["text"].str.count(" ") + 1
     eligible = (~corrupt) & (n_tok >= 4)
-    split = eligible & (rng.random(total) < 0.003)
+    # ~0.3% of all rows overall (eligibility covers ~30% of rows)
+    split = eligible & (rng.random(total) < 0.01)
     si = np.flatnonzero(split)
 
     df["piece"] = 0

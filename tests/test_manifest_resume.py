@@ -1,0 +1,122 @@
+"""Manifest lineage + idempotent kill-and-resume (north-rule resume invariant).
+
+Reference semantics mirrored: confirmed output is never re-sent on restart
+(Writer::isNewData, /root/reference/src/writer/Writer.cpp:296-298); metadata
+checkpoints restore position (Metadata.cpp:415-460)."""
+
+import glob
+import hashlib
+import os
+import shutil
+
+import pytest
+
+from openlogparse_spark.manifest import Manifest
+from openlogparse_spark.pipeline import PipelineConfig, run_pipeline
+
+TMP = "data/tmp/test_resume"
+
+
+def _sink_digest(root: str) -> dict[str, str]:
+    """Per-sink content digest over sorted row bytes (order-insensitive)."""
+    import duckdb
+
+    out = {}
+    for sink in sorted(os.listdir(root)):
+        path = os.path.join(root, sink)
+        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not files:
+            out[sink] = "empty"
+            continue
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT md5(string_agg(h, '' ORDER BY h)) FROM ("
+            f"SELECT md5(concat_ws('|', conv_id, turn_idx, text)) AS h "
+            f"FROM read_parquet({files!r}, union_by_name=true))"
+        ).fetchone()[0]
+        out[sink] = rows
+    return out
+
+
+@pytest.fixture(scope="module")
+def cfg(fx_dir):
+    shutil.rmtree(TMP, ignore_errors=True)
+    return PipelineConfig(
+        input_path=os.path.join(fx_dir, "transcripts.parquet"),
+        dims_dir=fx_dir,
+        output_root=TMP,
+        salt_buckets=8,
+        run_id="full1",
+    )
+
+
+def test_kill_and_resume_identical(spark, cfg, fx_dir):
+    # 1) "killed" run: parse+enrich done, only 2 of 6 routes written
+    partial_cfg = PipelineConfig(
+        input_path=cfg.input_path, dims_dir=cfg.dims_dir, output_root=cfg.output_root,
+        salt_buckets=8, run_id="partial",
+    )
+    man = Manifest(os.path.join(TMP, "manifest"))
+    import pandas as pd
+
+    from openlogparse_spark.route import route_stage
+
+    # run parse+enrich+first-2-routes manually (simulates a crash mid-route)
+    from openlogparse_spark.pipeline import run_pipeline as _rp
+
+    partial_cfg2 = PipelineConfig(
+        input_path=cfg.input_path, dims_dir=cfg.dims_dir, output_root=cfg.output_root,
+        salt_buckets=8, run_id="partial", stages=("parse", "enrich"),
+    )
+    _rp(spark, partial_cfg2)
+    routes = pd.read_parquet(os.path.join(fx_dir, "routes.parquet")).to_dict("records")
+    enriched = spark.read.parquet(os.path.join(TMP, "enriched")).filter("parse_ok")
+    route_stage(enriched, routes[:2], os.path.join(TMP, "sinks"),
+                manifest=man, run_id="partial", salt_buckets=8)
+    assert len(man.done("route")) == 2
+
+    # 2) resume: full pipeline; must skip enrich + the 2 done sinks
+    res = run_pipeline(spark, cfg)
+    digests_after_resume = _sink_digest(os.path.join(TMP, "sinks"))
+    manifest_df = man.load()
+    # enrich recorded once (not re-run), the 2 early sinks recorded by "partial"
+    assert (manifest_df[manifest_df.stage == "enrich"]).shape[0] == 1
+    early = manifest_df[(manifest_df.stage == "route")
+                        & (manifest_df.run_id == "partial")]
+    assert early.shape[0] == 2
+
+    # 3) re-run from scratch in a different directory -> identical sink bytes
+    clean_root = TMP + "_clean"
+    shutil.rmtree(clean_root, ignore_errors=True)
+    clean_cfg = PipelineConfig(
+        input_path=cfg.input_path, dims_dir=cfg.dims_dir, output_root=clean_root,
+        salt_buckets=8, run_id="clean",
+    )
+    run_pipeline(spark, clean_cfg)
+    digests_clean = _sink_digest(os.path.join(clean_root, "sinks"))
+    assert digests_after_resume == digests_clean
+
+    # 4) routed counts recorded in manifest match across runs
+    m2 = Manifest(os.path.join(clean_root, "manifest"))
+    c1 = {os.path.basename(k[1]): v for k, v in man.counts_by_sink().items() if k[0] == "route"}
+    c2 = {os.path.basename(k[1]): v for k, v in m2.counts_by_sink().items() if k[0] == "route"}
+    assert c1 == c2
+
+
+def test_atomic_overwrite_never_half_visible(spark, cfg):
+    """A dangling tmp dir from a crash is invisible to readers and cleaned
+    up by the next commit."""
+    from openlogparse_spark.manifest import atomic_overwrite
+
+    target = os.path.join(TMP, "atomic_probe")
+    df1 = spark.range(10).withColumnRenamed("id", "v")
+    atomic_overwrite(df1, target)
+    # simulate a crashed writer: stale tmp dir with garbage
+    os.makedirs(target + ".__tmp__", exist_ok=True)
+    with open(os.path.join(target + ".__tmp__", "junk"), "w") as f:
+        f.write("crash leftovers")
+    assert spark.read.parquet(target).count() == 10  # old snapshot intact
+    df2 = spark.range(20).withColumnRenamed("id", "v")
+    atomic_overwrite(df2, target)
+    assert spark.read.parquet(target).count() == 20
+    assert not os.path.exists(target + ".__tmp__")

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as `binary` columns with a
+metadata struct; decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched pandas UDFs over mapInPandas. The media libraries (PIL, ffmpeg,
+torchaudio) are NOT in this container, so the decode kernels are STUBBED —
+clearly marked — behind a deterministic fake; everything Spark-side (schema,
+batching, partition sizing, UDF signatures) is real and tested.
+
+Scale notes: binary payloads dominate row size — `spark.sql.files.
+maxPartitionBytes` should be sized so one partition's payloads fit the Arrow
+batch budget; metadata-only plans never touch the bytes (column pruning), so
+keep payload and metadata in separate columns, never one struct.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<mime:string, width:int, height:int, duration_ms:int>"
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, sha1 string, feat array<float>"
+
+_STUB_DIM = 8
+
+
+def _stub_decode_features(payload: bytes, kind: str) -> list[float]:
+    """STUB: deterministic fake 'embedding' from payload bytes.
+
+    A real deployment replaces this body with PIL/torchvision/ffmpeg decode →
+    model features. Raising NotImplementedError here would abort the batch;
+    instead we derive a stable vector from a sha1 so tests exercise the full
+    distributed path.
+    """
+    h = hashlib.sha1(kind.encode() + payload).digest()
+    return [b / 255.0 for b in h[:_STUB_DIM]]
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
+        meta = {"mime": f"{kind}/x-fake", "width": 64 + i, "height": 48 + i,
+                "duration_ms": 1000 * (i % 7)}
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas keeps whole partitions streaming through Python once —
+    payload bytes cross the JVM↔Arrow boundary a single time.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _stub_decode_features(bytes(p), k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "sha1": [hashlib.sha1(bytes(p)).hexdigest() for p in pdf["payload"]],
+                    "feat": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms).
+
+    The expansion is pure Catalyst (sequence + explode); the actual frame
+    decode would be a mapInPandas kernel like extract_features. Metadata-only:
+    never touches `payload` (column pruning keeps the scan cheap).
+    """
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                           F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

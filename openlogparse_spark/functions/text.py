@@ -1,0 +1,77 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All pure Catalyst column expressions (JVM-side, whole-stage codegen) — no
+Python in the hot path. Each has an exact ANSI-SQL twin used as the DuckDB
+oracle in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed English stopword list (public; the classic top function words).
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that", "be", "are",
+)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars."""
+    stripped = F.regexp_replace(text, r"[^\s\w]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: long enough, mostly words,
+    some stopwords (≈ real prose), little punctuation noise."""
+    n_tok = token_count(text)
+    len_ok = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    return F.round((len_ok + stop_ok + punct_ok) / 3.0, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Tiny language-ID heuristic: English stopword density.
+
+    (A real system would use fastText/CLD3 — not in this container; the
+    Spark-side shape is identical: one column expression or pandas UDF.)"""
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of case/whitespace-normalized text."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All text features in one projection (single scan, codegen'd)."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(stopword_ratio(t), 4).alias("stop_ratio"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "turns_per_sec": <pipeline throughput>}
+
+Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) for the generic
+tables; a same-sf synthetic transcripts table (generated once, cached under
+data/bench/) for the pipeline throughput number. Parallelism:
+local[$SPARK_GRAFT_CPUS] (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# queries() entries timed against the generic tables
+BENCH_QUERIES = [
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "enrich_parts", "topk_orders_per_customer",
+    "parse_events", "events_hourly", "sessionize_events",
+    "dedup_exact", "jaccard_pairs", "minhash_lsh_pairs",
+    "ann_cosine_topk",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base[2:]) if base.startswith("sf") else 0.1
+
+
+def ensure_bench_transcripts(sf: float) -> str:
+    from openlogparse_spark.fixtures.transcripts import fixture_dir, write_fixtures
+
+    d = fixture_dir(sf, base=os.path.join(REPO, "data", "bench"))
+    if not os.path.exists(os.path.join(d, "transcripts.parquet")):
+        write_fixtures(sf, base=os.path.join(REPO, "data", "bench"))
+    return d
+
+
+def run_pipeline_bench(spark, fx_dir: str, out_root: str) -> tuple[float, int]:
+    from openlogparse_spark.pipeline import PipelineConfig, run_pipeline
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    t0 = time.time()
+    cfg = PipelineConfig(
+        input_path=os.path.join(fx_dir, "transcripts.parquet"),
+        dims_dir=fx_dir,
+        output_root=out_root,
+        run_id="bench",
+    )
+    run_pipeline(spark, cfg)
+    wall = time.time() - t0
+    n_turns = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet")).count()
+    return wall, n_turns
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from openlogparse_spark.session import get_spark
+
+    sf = sf_of(SF_DIR)
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    # 1) the north-rule number: end-to-end parse→route throughput
+    fx_dir = ensure_bench_transcripts(sf)
+    wall, n_turns = run_pipeline_bench(spark, fx_dir, os.path.join(REPO, "data", "bench", "out"))
+    timings["pipeline_e2e"] = round(wall, 3)
+    total += wall
+    turns_per_sec = round(n_turns / wall, 1)
+
+    # 2) representative operator queries on the driver tables
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "pipeline e2e + operator suite wall time",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns": n_turns,
+        "turns_per_sec": turns_per_sec,
+        "cpus": int(CPUS),
+    }))
+
+
+if __name__ == "__main__":
+    main()

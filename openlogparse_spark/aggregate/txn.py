@@ -15,10 +15,11 @@ Reference parity — the stateful heart of the reference pipeline:
     (transactionsPartial counter, Metrics.h:124-129).
 
 This is a stack algorithm over an ordered stream — not expressible as a SQL
-aggregate — so it runs as `applyInPandas` per conversation (Arrow-batched;
-one shuffle on conv_id). `replay_transactions` is the pure-Python core shared
-with the pytest oracle, guaranteeing the distributed and single-node answers
-coincide by construction of the test.
+aggregate — so it runs as an Arrow-batched `mapInPandas` over
+partition-sorted conversations (one shuffle on conv_id; see conv_outcomes
+for why not applyInPandas). `replay_transactions` is the pure-Python core
+shared with the pytest oracle, guaranteeing the distributed and single-node
+answers coincide by construction of the test.
 """
 
 from __future__ import annotations
@@ -50,7 +51,7 @@ def replay_transactions(rows: list[tuple[int, str, dict]]) -> list[dict]:
         last_turn = turn
         if op == "begin":
             open_stack.append(
-                {"xid": params.get("txn", "?"), "ops": [], "begin_turn": turn}
+                {"xid": params.get("txn") or "?", "ops": [], "begin_turn": turn}
             )
         elif op in DML_OPS:
             nrows = int(params.get("rows", 0) or 0)
@@ -66,7 +67,7 @@ def replay_transactions(rows: list[tuple[int, str, dict]]) -> list[dict]:
             if open_stack and open_stack[-1]["ops"]:
                 open_stack[-1]["ops"].pop()
         elif op in ("commit", "rollback"):
-            xid = params.get("txn", "?")
+            xid = params.get("txn") or "?"
             # close the matching open txn (innermost-first), else innermost
             idx = None
             for i in range(len(open_stack) - 1, -1, -1):
@@ -125,27 +126,64 @@ def replay_transactions(rows: list[tuple[int, str, dict]]) -> list[dict]:
     return out
 
 
+TXN_OPS = ("begin", "commit", "rollback", "rollback_last") + tuple(DML_OPS)
+
+
 def conv_outcomes(parsed):
-    """Distributed transaction replay: applyInPandas per conv_id."""
+    """Distributed transaction replay.
 
-    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx")
-        conv = pdf["conv_id"].iloc[0]
-        rows = list(
-            zip(pdf["turn_idx"], pdf["op"], (p if isinstance(p, dict) else {} for p in pdf["params"]))
+    Shape (the 100 TB path): pre-filter to transaction-bearing ops only
+    (~1/3 of turns; conversations with none produce no outcomes by
+    definition), project the three scalars the replay needs (xid and row
+    count pre-extracted from the params map JVM-side), then ONE shuffle —
+    repartition(conv_id) + sortWithinPartitions — and a mapInPandas scan that
+    replays conversations in partition order, carrying the open conversation
+    across Arrow batch boundaries. This avoids applyInPandas's
+    one-python-call-per-group overhead (transcripts have millions of tiny
+    conversations — the skewed-many-small-groups regime).
+    """
+    from pyspark.sql import functions as F
+
+    slim = (
+        parsed.filter(F.col("op").isin(*TXN_OPS))
+        .select(
+            "conv_id", "turn_idx", "op",
+            F.col("params")["txn"].alias("xid"),
+            F.coalesce(F.col("params")["rows"].cast("long"), F.lit(0)).alias("nrows"),
         )
-        recs = replay_transactions(rows)
-        if not recs:
-            return pd.DataFrame(
-                columns=["conv_id", "xid", "outcome", "n_ops", "total_rows",
-                         "begin_turn", "end_turn"]
-            )
-        out = pd.DataFrame(recs)
-        out.insert(0, "conv_id", conv)
-        return out
-
-    return (
-        parsed.select("conv_id", "turn_idx", "op", "params")
-        .groupBy("conv_id")
-        .applyInPandas(per_conv, schema=OUTCOME_SCHEMA)
+        .repartition("conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
     )
+
+    def run(batches):
+        cur_conv = None
+        buf: list[tuple] = []
+
+        def flush():
+            if cur_conv is None:
+                return None
+            recs = replay_transactions(
+                [(t, o, {"txn": x, "rows": n}) for t, o, x, n in buf])
+            if not recs:
+                return None
+            out = pd.DataFrame(recs)
+            out.insert(0, "conv_id", cur_conv)
+            return out
+
+        for pdf in batches:
+            outs = []
+            for c, t, o, x, n in zip(pdf["conv_id"], pdf["turn_idx"],
+                                     pdf["op"], pdf["xid"], pdf["nrows"]):
+                if c != cur_conv:
+                    f = flush()
+                    if f is not None:
+                        outs.append(f)
+                    cur_conv, buf = c, []
+                buf.append((t, o, x, n))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        f = flush()
+        if f is not None:
+            yield f
+
+    return slim.mapInPandas(run, schema=OUTCOME_SCHEMA)

@@ -298,7 +298,10 @@ def write_fixtures(sf: float, base: str | None = None, seed: int = SEED) -> str:
         for c in df.columns:  # Spark parquet cannot read TIMESTAMP(NANOS)
             if str(df[c].dtype).startswith("datetime64[ns"):
                 df[c] = df[c].astype("datetime64[us]")
-        df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)
+        # small row groups keep the Spark scan splittable (parallelism at
+        # 32+ cores even from a single file)
+        df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False,
+                      row_group_size=65536)
     return d
 
 

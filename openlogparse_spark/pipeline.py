@@ -71,10 +71,20 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
     if "parse" in cfg.stages or "enrich" in cfg.stages:
         if not stage_done("enrich", enriched_path):
             t0 = time.time()
-            parsed = parse_stage(transcripts, mode=cfg.parse_mode,
-                                 min_support=cfg.min_support)
+            # the merged view feeds BOTH template mining and template apply;
+            # persist it so the merge window+group runs once, not twice
+            from pyspark import StorageLevel
+
+            from openlogparse_spark.parse import merge_row_pieces
+
+            merged = merge_row_pieces(transcripts).persist(
+                StorageLevel.MEMORY_AND_DISK)
+            parsed = parse_stage(merged, mode=cfg.parse_mode,
+                                 min_support=cfg.min_support,
+                                 merge_pieces=False)
             enriched = enrich_stage(parsed, dim_tools, dim_roles)
             atomic_overwrite(enriched, enriched_path)
+            merged.unpersist()
             rows = spark.read.parquet(enriched_path).count()
             man.record(cfg.run_id, "enrich", enriched_path, rows,
                        _dir_bytes(enriched_path), started=t0)

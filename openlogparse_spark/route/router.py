@@ -27,6 +27,7 @@ random salt (breaks resume determinism).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame
@@ -69,21 +70,32 @@ def route_stage(
     run_id: str = "run0",
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     shuffle_partitions: int | None = None,
+    strategy: str = "unified",
 ) -> dict[str, int]:
     """Fan out `enriched` to one sink per route; returns {route_id: rows}.
 
-    Each sink write:
-      filter (pushed to scan) → salted repartition on (template_id, salt)
-      → sortWithinPartitions(conv_id, turn_idx)   # stable-order invariant
-      → parquet partitionBy(template_id), atomic rename commit.
+    strategy='unified' (default, the 100 TB path): ONE scan computes every
+    route's match set (array of matching route ids → explode), ONE salted
+    shuffle orders it, ONE write lands partitionBy(route_id, template_id);
+    each route_id=… directory is then atomically moved into place as that
+    route's sink — byte-layout identical to per-sink writes, at 1/N_routes
+    the scan+shuffle cost. (The reference writes each message once into one
+    writer per pipeline; this is the multi-sink generalization.)
 
-    Row counts come from an Observation on the written plan (no second scan).
-    Already-done sinks (manifest) are skipped — idempotent resume.
+    strategy='fanout': one filtered write per route (N scans). Kept for
+    per-sink independent re-runs.
+
+    Both: filter pushed to scan → salted repartition → sortWithinPartitions
+    (conv_id, turn_idx) [stable-order invariant] → atomic commit; per-sink
+    counts from parquet footers (metadata-only); done sinks skipped (resume).
     """
+    if strategy == "unified":
+        return _route_unified(enriched, routes, sinks_root, manifest, run_id,
+                              salt_buckets, shuffle_partitions)
     done = manifest.done("route") if manifest else set()
     counts: dict[str, int] = {}
     salted = add_salt(enriched, salt_buckets)
-    for r in routes:
+    for r in routes:  # strategy='fanout'
         sink_path = os.path.join(sinks_root, r["sink"])
         if sink_path in done:
             counts[r["route_id"]] = (manifest.counts_by_sink().get(("route", sink_path), 0)
@@ -109,4 +121,69 @@ def route_stage(
                 run_id, "route", sink_path, rows, _dir_bytes(sink_path),
                 started=t0,
             )
+    return counts
+
+
+def _route_unified(
+    enriched: DataFrame,
+    routes: list[dict],
+    sinks_root: str,
+    manifest: Manifest | None,
+    run_id: str,
+    salt_buckets: int,
+    shuffle_partitions: int | None,
+) -> dict[str, int]:
+    """Single-pass fan-out: see route_stage(strategy='unified')."""
+    spark = enriched.sparkSession
+    done = manifest.done("route") if manifest else set()
+    counts: dict[str, int] = {}
+    t0 = time.time()
+
+    todo = []
+    for r in routes:
+        sink_path = os.path.join(sinks_root, r["sink"])
+        if sink_path in done:
+            counts[r["route_id"]] = (manifest.counts_by_sink().get(("route", sink_path), 0)
+                                     if manifest else 0)
+        else:
+            todo.append(r)
+    if not todo:
+        return counts
+
+    # one expression per route; a row fans out to every matching route
+    route_tags = F.array(*[
+        F.when(compile_route_filter(r["template_pattern"], r["condition"]),
+               F.lit(r["route_id"]))
+        for r in todo
+    ])
+    matched = (
+        add_salt(enriched, salt_buckets)
+        .withColumn("route_id", F.explode(F.filter(route_tags, lambda x: x.isNotNull())))
+    )
+    n_out = shuffle_partitions
+    rep = (matched.repartition(n_out, "route_id", "salt") if n_out
+           else matched.repartition("route_id", "salt"))
+    ready = rep.sortWithinPartitions("conv_id", "turn_idx").drop("salt")
+
+    staging = os.path.join(sinks_root, ".__routed_tmp__")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    os.makedirs(sinks_root, exist_ok=True)
+    ready.write.mode("overwrite").partitionBy("route_id", "template_id").parquet(staging)
+
+    for r in todo:
+        sink_path = os.path.join(sinks_root, r["sink"])
+        part_dir = os.path.join(staging, f"route_id={r['route_id']}")
+        if os.path.exists(sink_path):
+            shutil.rmtree(sink_path)
+        if os.path.exists(part_dir):
+            os.rename(part_dir, sink_path)  # atomic snapshot commit per sink
+        else:
+            os.makedirs(sink_path)          # route matched nothing: empty sink
+        rows = safe_count(spark, sink_path)
+        counts[r["route_id"]] = rows
+        if manifest:
+            manifest.record(run_id, "route", sink_path, rows,
+                            _dir_bytes(sink_path), started=t0)
+    shutil.rmtree(staging, ignore_errors=True)
     return counts

@@ -74,9 +74,12 @@ def test_conv_stats_vs_duckdb(enriched, duck):
 
 
 def test_conv_outcomes_vs_python_oracle(enriched):
+    from openlogparse_spark.aggregate.txn import TXN_OPS
+
     got = conv_outcomes(enriched.filter("parse_ok")).toPandas()
     pdf = (
         enriched.filter("parse_ok")
+        .filter(F.col("op").isin(*TXN_OPS))  # replay sees the txn-op stream
         .select("conv_id", "turn_idx", "op", "params")
         .toPandas()
         .sort_values(["conv_id", "turn_idx"])

@@ -1,0 +1,129 @@
+"""Training-data operator correctness: dedup (known dups), simhash
+(pure-python cross-check), similarity (recall vs brute force), multimodal
+plumbing."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from openlogparse_spark.functions.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from openlogparse_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from openlogparse_spark.functions.similarity import cosine_topk, lsh_cosine_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),        # near dup of 0
+        (3, "completely different content about spark pipelines"),
+        (4, "THE  QUICK   brown fox jumps over the lazy dog"),     # case/ws variant
+        (5, "unrelated text on streaming watermarks and state"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    res = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert res[1]["keep_id"] == 0 and res[1]["is_dup"]
+    assert not res[0]["is_dup"]
+    assert not res[4]["is_dup"]  # exact dedup is byte-exact: case variant kept
+
+
+def test_jaccard_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0  # normalization unifies ws/case
+    assert not any({a, b} == {3, 5} for a, b in pairs)
+
+
+def test_minhash_lsh_recalls_jaccard_pairs(docs):
+    exact = {(r["id_a"], r["id_b"])
+             for r in jaccard_pairs(docs, n=3, threshold=0.9).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    assert exact <= approx  # identical docs always collide in every band
+
+
+def test_simhash_properties(spark, docs):
+    s = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert s[0] == s[1]              # identical text -> identical simhash
+    assert s[0] == s[4]              # normalization
+    ham02 = bin((s[0] ^ s[2]) & ((1 << 64) - 1)).count("1")
+    ham03 = bin((s[0] ^ s[3]) & ((1 << 64) - 1)).count("1")
+    assert ham02 < ham03             # near dup closer than unrelated
+    near = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert (0, 1) in near and (0, 4) in near
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = cosine_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+    assert res[0]["score"] <= 1.0
+
+
+def test_lsh_recall_vs_brute(spark):
+    import numpy as np
+
+    # clustered corpus: LSH only has signal when near neighbors are at small
+    # angles (random-uniform vectors have none — recall would be ~0 there)
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 64))
+    vecs = np.repeat(centers, 10, axis=0) + 0.05 * rng.normal(size=(200, 64))
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 10")
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, q, k=5, normalized=True).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_cosine_topk(emb, q, k=5, n_planes=8).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5  # same-cluster neighbors collide with high prob
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=24)
+    feats = extract_features(media).collect()
+    assert len(feats) == 24
+    by_id = {r["media_id"]: r for r in feats}
+    # deterministic stub: sha1 drives the fake feature vector
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    h = hashlib.sha1(b"image" + raw[0]).digest()
+    assert by_id[0]["feat"] == pytest.approx([b / 255.0 for b in h[:8]])
+    assert by_id[0]["n_bytes"] == len(raw[0])
+    # frame sampling plan never reads payload (column pruning reaches the
+    # scan — needs a file-backed table; a local relation always carries all
+    # columns)
+    media.write.mode("overwrite").parquet("data/tmp/media")
+    media_pq = spark.read.parquet("data/tmp/media")
+    plan = frame_sample_plan(media_pq, every_ms=500)
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    scan_line = [l for l in explained.splitlines() if "FileScan" in l or "ReadSchema" in l]
+    assert all("payload" not in l for l in scan_line), scan_line
+    vids = media_pq.filter("kind = 'video'").select("media_id", "meta.duration_ms").collect()
+    expect = sum(max((v["duration_ms"] - 1) // 500 + 1, 1) for v in vids)
+    assert plan.count() == expect

@@ -508,6 +508,9 @@ def _ann_lsh_topk(spark, sf_dir):
 
 # --------------------------- transcripts (north rule) ----------------------
 
+_DUCK_STRIP = ("CASE WHEN text LIKE '%\\' THEN rtrim(substr(text, 1, length(text) - 1)) "
+               "ELSE text END")
+
 _DUCK_MERGE_CTE = f"""
 ordered AS (
   SELECT conv_id, turn_idx, role, text, tool, ts,
@@ -521,15 +524,14 @@ ordered AS (
 ), merged AS (
   SELECT conv_id, MIN(turn_idx) AS turn_idx,
          arg_min(role, turn_idx) AS role,
-         string_agg(regexp_replace(text, '\\s*\\\\$', ''), ' ' ORDER BY turn_idx) AS text,
+         string_agg({_DUCK_STRIP}, ' ' ORDER BY turn_idx) AS text,
          arg_min(tool, turn_idx) AS tool,
          arg_min(ts, turn_idx) AS ts
   FROM grp GROUP BY conv_id, g
 )
 """
 
-_DUCK_MASK = ("regexp_replace(regexp_replace(text, '(\\S+=)\\S+', '\\1<*>', 'g'),"
-              " '(^|\\s)[^\\s=]*\\d[^\\s=]*', '\\1<*>', 'g')")
+from openlogparse_spark.parse.stage import MASK_DUCKDB_EXPR as _DUCK_MASK  # noqa: E402
 
 _DUCK_PARSED_CTE = _DUCK_MERGE_CTE + f""", masked AS (
   SELECT *, {_DUCK_MASK} AS template FROM merged

@@ -298,10 +298,20 @@ def write_fixtures(sf: float, base: str | None = None, seed: int = SEED) -> str:
         for c in df.columns:  # Spark parquet cannot read TIMESTAMP(NANOS)
             if str(df[c].dtype).startswith("datetime64[ns"):
                 df[c] = df[c].astype("datetime64[us]")
-        # small row groups keep the Spark scan splittable (parallelism at
-        # 32+ cores even from a single file)
-        df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False,
-                      row_group_size=65536)
+        path = os.path.join(d, f"{name}.parquet")
+        if name == "transcripts" and len(df) > 1_000_000:
+            # shard large tables into many files — the layout a distributed
+            # writer produces, and what keeps the scan parallel at any core
+            # count (a single ~200MB file yields only 2 default-size splits)
+            os.makedirs(path, exist_ok=True)
+            shard = 131072
+            for i in range(0, len(df), shard):
+                df.iloc[i:i + shard].to_parquet(
+                    os.path.join(path, f"part-{i // shard:05d}.parquet"),
+                    index=False, row_group_size=65536)
+        else:
+            # small row groups keep even a single file splittable
+            df.to_parquet(path, index=False, row_group_size=65536)
     return d
 
 

@@ -42,13 +42,16 @@ WILDCARD = "<*>"
 
 
 def pre_mask(text: str) -> list[str]:
-    """Tokenize + mask digit-bearing tokens and ``k=v`` values."""
+    """Tokenize + mask digit-bearing tokens and ``k=v`` values.
+
+    Exactly mirrors stage.MASK_SQL_EXPR (single-space split, first-'='
+    masking, ascii-digit test) so drain and sql modes agree."""
     out = []
-    for tok in text.split():
+    for tok in text.split(" "):
         if "=" in tok:
             k, _, _v = tok.partition("=")
             out.append(k + "=" + WILDCARD)
-        elif _DIGIT.search(tok):
+        elif any(c in "0123456789" for c in tok):
             out.append(WILDCARD)
         else:
             out.append(tok)

@@ -18,8 +18,8 @@ Reference parity:
     null template_id; they are counted, never dropped silently (count
     conservation: rows_in == rows_ok + rows_quarantined).
   - params map = per-opcode field extraction, ref src/parser/OpCode.h
-    field-walks: here ``k=v`` pairs via regexp_extract_all into a
-    map<string,string>.
+    field-walks: here ``k=v`` tokens split into a map<string,string> with
+    non-regex string intrinsics (see MASK_SQL_EXPR note on why not regex).
 
 Output schema (FIXTURES.md §5 `parsed`):
   conv_id, turn_idx, role, text, tool, ts,
@@ -36,16 +36,27 @@ from openlogparse_spark.parse import drain as drain_mod
 from openlogparse_spark.parse.templates import all_masked_templates, template_id_of
 
 # Masking, as a SQL expression over a column named `text` (Spark dialect).
-# Pass 1: k=v values -> k=<*>.  Pass 2: remaining digit-bearing tokens -> <*>.
+# Token rule: `k=v…` -> `k=<*>` (everything after the FIRST '='); any other
+# digit-bearing token -> `<*>`; all else unchanged.
+#
+# Deliberately NON-REGEX (split/instr/substring_index/translate): on this
+# box java.util.regex throughput saturates at ~4 threads per JVM
+# (~1M rows/s flat from 4 to 32 cores, measured), while plain string
+# intrinsics scale with cores like any codegen'd expression. Same rule is
+# exactly expressible in DuckDB for the oracle.
 MASK_SQL_EXPR = (
-    r"regexp_replace(regexp_replace(text, '(\\S+=)\\S+', '$1<*>'),"
-    r" '(^|\\s)[^\\s=]*\\d[^\\s=]*', '$1<*>')"
+    "array_join(transform(split(text, ' '), t -> "
+    "CASE WHEN instr(t, '=') > 0 THEN concat(substring_index(t, '=', 1), '=<*>') "
+    "WHEN translate(t, '0123456789', '') != t THEN '<*>' "
+    "ELSE t END), ' ')"
 )
 
 # Same masking in DuckDB dialect (for oracle SQL strings).
 MASK_DUCKDB_EXPR = (
-    r"regexp_replace(regexp_replace(text, '(\S+=)\S+', '\1<*>', 'g'),"
-    r" '(^|\s)[^\s=]*\d[^\s=]*', '\1<*>', 'g')"
+    "array_to_string(list_transform(string_split(text, ' '), t -> "
+    "CASE WHEN strpos(t, '=') > 0 THEN split_part(t, '=', 1) || '=<*>' "
+    "WHEN translate(t, '0123456789', '') != t THEN '<*>' "
+    "ELSE t END), ' ')"
 )
 
 
@@ -58,12 +69,15 @@ def merge_row_pieces(df: DataFrame) -> DataFrame:
     groupBy reuses the same partitioning (no second shuffle).
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    cont_mark = F.col("text").rlike(r"\\$")
+    cont_mark = F.col("text").endswith("\\")  # non-regex: hot path
     prev_cont = F.lag(cont_mark.cast("int"), 1, 0).over(w)
+    strip_cont = F.when(
+        cont_mark, F.rtrim(F.expr("substring(text, 1, length(text) - 1)"))
+    ).otherwise(F.col("text"))
     df2 = (
         df.withColumn("_head", (prev_cont == 0).cast("int"))
         .withColumn("_grp", F.sum("_head").over(w))
-        .withColumn("_clean", F.regexp_replace("text", r"\s*\\$", ""))
+        .withColumn("_clean", strip_cont)
     )
     pieces = F.array_sort(F.collect_list(F.struct("turn_idx", "_clean", "role", "tool", "ts")))
     merged = (
@@ -112,8 +126,13 @@ def mine_template_table(
             mined, schema="template_id string, template string, support long"
         )
     else:
+        # a pre-masked input (column `template` present) is counted directly —
+        # the pipeline persists the masked view so the mask runs once, not
+        # once for fit and again for apply
+        masked = (df.select("template") if "template" in df.columns
+                  else df.select(F.expr(MASK_SQL_EXPR).alias("template")))
         mined_df = (
-            df.select(F.expr(MASK_SQL_EXPR).alias("template"))
+            masked
             .groupBy("template")
             .count()
             .filter(F.col("count") >= min_support)
@@ -136,7 +155,8 @@ def mine_template_table(
 
 
 def _apply_templates_sql(df: DataFrame, templates: DataFrame) -> DataFrame:
-    masked = df.withColumn("template", F.expr(MASK_SQL_EXPR))
+    masked = (df if "template" in df.columns
+              else df.withColumn("template", F.expr(MASK_SQL_EXPR)))
     t = F.broadcast(templates.select("template", "template_id", "op"))
     return masked.join(t, "template", "left")
 
@@ -200,12 +220,13 @@ def parse_stage(
         out = _apply_templates_drain(df, templates)
     else:
         out = _apply_templates_sql(df, templates)
+    kv = "filter(split(text, ' '), t -> instr(t, '=') > 0)"
     return out.select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         "template_id", "template", "op",
         F.map_from_arrays(
-            F.expr(r"regexp_extract_all(text, '([^\\s=]+)=[^\\s=]+', 1)"),
-            F.expr(r"regexp_extract_all(text, '[^\\s=]+=([^\\s=]+)', 1)"),
+            F.expr(f"transform({kv}, t -> substring_index(t, '=', 1))"),
+            F.expr(f"transform({kv}, t -> substring(t, instr(t, '=') + 1))"),
         ).alias("params"),
         F.col("template_id").isNotNull().alias("parse_ok"),
     )

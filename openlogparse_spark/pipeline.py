@@ -42,6 +42,11 @@ class PipelineConfig:
     salt_buckets: int = 64
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     stages: tuple = ("parse", "enrich", "route", "aggregate")
+    # True: stage `enriched` as a parquet table (per-stage resume; routes read
+    # with pushdown). False: keep it as a cached plan feeding route/aggregate
+    # directly — skips one full write+read of the widest table (use when the
+    # run is one shot and resume granularity per-sink suffices).
+    materialize_enriched: bool = True
 
 
 @dataclass
@@ -66,67 +71,101 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
     routes_pdf = spark.read.parquet(os.path.join(cfg.dims_dir, "routes.parquet")).toPandas()
     routes = routes_pdf.to_dict("records")
 
-    # ---- stage 1+2: parse + enrich, materialized once ----------------------
+    # ---- stage 1+2: parse + enrich -----------------------------------------
     enriched_path = os.path.join(cfg.output_root, "enriched")
+    masked = None
     if "parse" in cfg.stages or "enrich" in cfg.stages:
-        if not stage_done("enrich", enriched_path):
+        if not (cfg.materialize_enriched and stage_done("enrich", enriched_path)):
             t0 = time.time()
-            # the merged view feeds BOTH template mining and template apply;
-            # persist it so the merge window+group runs once, not twice
+            # one persisted MASKED view feeds template mining AND apply:
+            # the merge window+group and the masking each run exactly once
             from pyspark import StorageLevel
 
             from openlogparse_spark.parse import merge_row_pieces
+            from openlogparse_spark.parse.stage import MASK_SQL_EXPR
 
-            merged = merge_row_pieces(transcripts).persist(
-                StorageLevel.MEMORY_AND_DISK)
-            parsed = parse_stage(merged, mode=cfg.parse_mode,
+            merged = merge_row_pieces(transcripts)
+            if cfg.parse_mode == "sql":
+                merged = merged.withColumn("template", F.expr(MASK_SQL_EXPR))
+            masked = merged.persist(StorageLevel.MEMORY_AND_DISK)
+            parsed = parse_stage(masked, mode=cfg.parse_mode,
                                  min_support=cfg.min_support,
                                  merge_pieces=False)
             enriched = enrich_stage(parsed, dim_tools, dim_roles)
-            atomic_overwrite(enriched, enriched_path)
-            merged.unpersist()
-            rows = spark.read.parquet(enriched_path).count()
-            man.record(cfg.run_id, "enrich", enriched_path, rows,
-                       _dir_bytes(enriched_path), started=t0)
+            if cfg.materialize_enriched:
+                atomic_overwrite(enriched, enriched_path)
+                masked.unpersist()
+                masked = None
+                rows = safe_count(spark, enriched_path)
+                man.record(cfg.run_id, "enrich", enriched_path, rows,
+                           _dir_bytes(enriched_path), started=t0)
+            else:
+                # downstream stages make several passes; cache the full
+                # enriched view so join+param-extraction run once
+                enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
             timings["parse_enrich"] = time.time() - t0
 
-    enriched = spark.read.parquet(enriched_path)
+    if cfg.materialize_enriched:
+        enriched = spark.read.parquet(enriched_path)
+    # else: `enriched` is the live plan over the persisted masked view
 
-    # ---- stage 3: route fan-out --------------------------------------------
+    # ---- stages 3+4: route fan-out and aggregates, submitted CONCURRENTLY ---
+    # They read independent column subsets of the staged `enriched` table;
+    # concurrent job submission lets the scheduler fill the stage gaps one
+    # sequential job stream leaves idle (python-worker stages overlap JVM
+    # shuffle stages). Same trick a real cluster uses to keep executors busy.
+    from concurrent.futures import ThreadPoolExecutor
+
     sink_counts: dict[str, int] = {}
-    if "route" in cfg.stages:
-        t0 = time.time()
-        sink_counts = route_stage(
-            enriched.filter("parse_ok"),  # quarantined rows never route
-            routes,
-            os.path.join(cfg.output_root, "sinks"),
-            manifest=man,
-            run_id=cfg.run_id,
-            salt_buckets=cfg.salt_buckets,
-        )
-        timings["route"] = time.time() - t0
-        # quarantine sink: the reference's skip/warn path, conserved not dropped
-        qpath = os.path.join(cfg.output_root, "sinks", "quarantine")
-        if not stage_done("route", qpath):
-            q = enriched.filter("NOT parse_ok")
-            atomic_overwrite(q, qpath)
-            man.record(cfg.run_id, "route", qpath,
-                       safe_count(spark, qpath), _dir_bytes(qpath))
+    futures = {}
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        if "route" in cfg.stages:
+            t0r = time.time()
+            futures["route"] = pool.submit(
+                route_stage,
+                enriched.filter("parse_ok"),  # quarantined rows never route
+                routes,
+                os.path.join(cfg.output_root, "sinks"),
+                man, cfg.run_id, cfg.salt_buckets,
+            )
 
-    # ---- stage 4: aggregates ------------------------------------------------
-    if "aggregate" in cfg.stages:
-        t0 = time.time()
-        for name, df in (
-            ("agg_hourly", agg_hourly(enriched)),
-            ("conv_stats", conv_stats(enriched)),
-            ("conv_outcomes", conv_outcomes(enriched.filter("parse_ok"))),
-        ):
-            path = os.path.join(cfg.output_root, name)
-            if stage_done("aggregate", path):
-                continue
-            atomic_overwrite(df, path)
-            man.record(cfg.run_id, "aggregate", path,
-                       spark.read.parquet(path).count(), _dir_bytes(path))
-        timings["aggregate"] = time.time() - t0
+            def _quarantine():
+                # the reference's skip/warn path: conserved, never dropped
+                qpath = os.path.join(cfg.output_root, "sinks", "quarantine")
+                if not stage_done("route", qpath):
+                    atomic_overwrite(enriched.filter("NOT parse_ok"), qpath)
+                    man.record(cfg.run_id, "route", qpath,
+                               safe_count(spark, qpath), _dir_bytes(qpath))
 
+            futures["quarantine"] = pool.submit(_quarantine)
+
+        if "aggregate" in cfg.stages:
+            t0a = time.time()
+
+            def _write_agg(name, df):
+                path = os.path.join(cfg.output_root, name)
+                if stage_done("aggregate", path):
+                    return
+                atomic_overwrite(df, path)
+                man.record(cfg.run_id, "aggregate", path,
+                           safe_count(spark, path), _dir_bytes(path))
+
+            for name, df in (
+                ("agg_hourly", agg_hourly(enriched)),
+                ("conv_stats", conv_stats(enriched)),
+                ("conv_outcomes", conv_outcomes(enriched.filter("parse_ok"))),
+            ):
+                futures[name] = pool.submit(_write_agg, name, df)
+
+        if "route" in cfg.stages:
+            sink_counts = futures["route"].result()
+            futures["quarantine"].result()
+            timings["route"] = time.time() - t0r
+        if "aggregate" in cfg.stages:
+            for name in ("agg_hourly", "conv_stats", "conv_outcomes"):
+                futures[name].result()
+            timings["aggregate"] = time.time() - t0a
+
+    if masked is not None:
+        masked.unpersist()
     return PipelineResult(cfg.run_id, enriched_path, sink_counts, man, timings)

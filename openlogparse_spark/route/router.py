@@ -171,6 +171,13 @@ def _route_unified(
     os.makedirs(sinks_root, exist_ok=True)
     ready.write.mode("overwrite").partitionBy("route_id", "template_id").parquet(staging)
 
+    # ONE footer-metadata job counts every sink at once (vs one job per sink)
+    staged_counts = {
+        r["route_id"]: r["n"]
+        for r in spark.read.parquet(staging)
+        .groupBy("route_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    } if _dir_bytes(staging) > 0 else {}
+
     for r in todo:
         sink_path = os.path.join(sinks_root, r["sink"])
         part_dir = os.path.join(staging, f"route_id={r['route_id']}")
@@ -180,7 +187,7 @@ def _route_unified(
             os.rename(part_dir, sink_path)  # atomic snapshot commit per sink
         else:
             os.makedirs(sink_path)          # route matched nothing: empty sink
-        rows = safe_count(spark, sink_path)
+        rows = int(staged_counts.get(r["route_id"], 0))
         counts[r["route_id"]] = rows
         if manifest:
             manifest.record(run_id, "route", sink_path, rows,

@@ -28,9 +28,13 @@ def get_spark(
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = (os.cpu_count() or 32) if inner == "*" else int(inner)
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # multi-JVM local-cluster executors need the package importable in
+        # their python workers (a real cluster ships it via --py-files)
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -38,8 +42,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # local-cluster[] executors take spark.executor.memory (default 1g!),
+        # NOT the worker-memory bracket param; plain local[] ignores this
+        .config("spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fair scheduling: route + aggregate jobs are submitted concurrently
+        .config("spark.scheduler.mode", "FAIR")
+        # text parsing is CPU-heavy: smaller scan splits keep every core busy
+        # (default 128MB gives a 200MB input only 2 tasks); AQE re-coalesces
+        # downstream so small splits cost nothing after the first shuffle
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

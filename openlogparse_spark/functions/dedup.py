@@ -54,25 +54,53 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold."""
-    sh = shingles(df, n, text_col, id_col)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    Shape (one shuffle): per-doc shingle sets are built as arrays (set size
+    comes free, no separate size aggregation), exploded once, self-joined on
+    shingle with both sizes carried through the join, then one groupBy counts
+    the intersection — no post-join size lookups.
+
+    `max_shingle_df` is the web-scale guard rail: a shingle appearing in d
+    documents contributes d·(d-1)/2 join pairs, so one boilerplate phrase in
+    10⁶ docs is a 5·10¹¹-row blowup. With the cap set, shingles with document
+    frequency > cap are dropped from EVERY document's set before sizes are
+    taken (jaccard stays a true Jaccard over the capped shingle space — an
+    approximation of the uncapped value, biased only for pairs whose overlap
+    hides in ubiquitous shingles). Default None = exact; corpora at MinHash
+    scale should use minhash_lsh_pairs instead."""
+    toks = F.split(_norm(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0).alias("sh_arr"),
+    )
+    sh = sets.select("id", F.size("sh_arr").alias("sz"),
+                     F.explode("sh_arr").alias("shingle"))
+    if max_shingle_df is not None:
+        dfreq = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") <= max_shingle_df))
+        capped = sh.join(dfreq.select("shingle"), "shingle")
+        w_sz = Window.partitionBy("id")
+        sh = capped.withColumn("sz", F.count(F.lit(1)).over(w_sz))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("n_inter")
                     / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6),
@@ -166,17 +194,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup candidates: block on 16-bit simhash chunks (a pair within
-    Hamming distance 3 of a 64-bit hash must agree on ≥1 of 4 chunks), then
-    verify exact Hamming distance."""
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n_chunks: int | None = None) -> DataFrame:
+    """Near-dup candidates: block on simhash bit-chunks, verify exact Hamming.
+
+    Pigeonhole recall guarantee: a pair within Hamming distance h differs in
+    at most h chunks, so with n_chunks = h+1 blocks it MUST agree on ≥1 —
+    blocking is lossless at the requested distance (n_chunks is derived from
+    max_hamming by default; overriding it below max_hamming+1 silently drops
+    recall, so it is clamped up)."""
+    n_chunks = max(n_chunks or 0, max_hamming + 1)
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1 if c < rem else base for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     s = simhash(df, text_col, id_col)
     chunked = s.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
-            for c in range(4)
+                     F.shiftright("simhash", offsets[c])
+                     .bitwiseAND(F.lit((1 << widths[c]) - 1)).alias("cv"))
+            for c in range(n_chunks)
         ])).alias("ch"),
     ).select("id", "simhash", "ch.chunk", "ch.cv")
     a, b = chunked.alias("a"), chunked.alias("b")

@@ -3,12 +3,20 @@
 Two paths:
   - brute-force cosine top-k: exact baseline. The query set is broadcast; the
     corpus is scanned once; dot products are pure column algebra
-    (F.aggregate/zip_with, JVM-side fold — no Python); top-k via window.
-    At 100 TB this is a single map stage + a tiny per-query shuffle of k rows
-    per partition (window over query_id after a partial top-k).
-  - random-hyperplane LSH (Charikar '02): sign-bit signatures bucket the
-    corpus; only same-bucket candidates are scored. The scale path when the
-    corpus is too large to scan per query batch.
+    (F.aggregate/zip_with, JVM-side fold — no Python). At 100 TB this is a
+    single map stage + a tiny per-query shuffle of k rows per partition
+    (window over query_id after a partial top-k).
+  - OR-amplified random-hyperplane LSH (Charikar '02; amplification per
+    Leskovec et al., MMDS ch.3): L independent hash tables of n_planes
+    sign-bits each; a pair is a candidate if it collides in ANY table
+    (P[candidate] = 1 - (1 - s^n)^L for angular similarity s). Candidates are
+    exactly re-ranked. The scale path when the corpus is too large to scan
+    per query batch: each table is a hash-bucketed join, never a full scan.
+
+All plane math is array-based (`transform`/`zip_with`/`aggregate` over the
+vector), NOT per-component unrolled expressions — at dim 768/1024 an unrolled
+form is n_planes x dim scalar expressions and breaks whole-stage codegen;
+the array form stays one expression regardless of dim.
 
 Embeddings in the test tables are L2-normalized, so cosine == dot product;
 `cosine_topk` still normalizes defensively unless told not to.
@@ -64,48 +72,107 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(df: DataFrame, n_planes: int = 16, dim: int = 64,
+def _bucket_expr(vec, table, n_planes: int, seed: int):
+    """n_planes sign-bits for one hash table, folded into a long bucket id.
+
+    Hyperplane component r[t,p,d] is a deterministic uniform in [-1,1) derived
+    from xxhash64(seed, t, p, d) — reproducible across runs, partitionings,
+    and cluster sizes with no RNG state to ship. Pure array algebra: one
+    aggregate over planes, each folding one zip_with dot product."""
+    dims = F.sequence(F.lit(0), F.size(vec) - F.lit(1))
+
+    def plane_dot(p):
+        plane = F.transform(
+            dims,
+            lambda d: F.xxhash64(F.lit(seed), table, p, d).cast("double")
+            / F.lit(float(2 ** 63)),
+        )
+        return _dot(vec, plane)
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * F.lit(2).cast("long")
+        + F.when(plane_dot(p) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, vec, tbl, bucket): one row per (vector, hash table).
+
+    L=n_tables independent sign-bit signatures per vector (OR-amplification);
+    each table's bucket is a long of n_planes bits. One narrow explode —
+    output is n_tables rows per vector, each carrying the vector for the
+    downstream exact re-rank."""
+    v = F.col(vec_col)
+    tb = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.struct(
+                t.alias("tbl"), _bucket_expr(v, t, n_planes, seed).alias("bucket")
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), v.alias("vec"), tb.alias("s"))
+        .select("id", "vec", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+    )
+
+
+def hyperplane_signature(df: DataFrame, n_planes: int = 16,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          seed: int = 42) -> DataFrame:
-    """Sign-bit LSH signature: bit_i = (v · r_i) > 0 for pseudo-random
-    hyperplanes r_i derived deterministically from (seed, plane, dim) via a
-    hash-based uniform in [-1,1] — reproducible across cluster sizes with no
-    RNG state."""
-    def plane_component(p: int, d: int):
-        h = F.xxhash64(F.lit(seed), F.lit(p), F.lit(d))
-        return (h.cast("double") / F.lit(float(2**63))).cast("double")
-
-    v = F.col(vec_col)
-    bits = []
-    for p in range(n_planes):
-        comps = [v[d].cast("double") * plane_component(p, d) for d in range(dim)]
-        dot = comps[0]
-        for c in comps[1:]:
-            dot = dot + c
-        bits.append(F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return df.select(F.col(id_col).alias("id"), v.alias("vec"), sig.alias("bucket"))
+    """Single-table signature (id, vec, bucket) — the L=1 special case."""
+    return hyperplane_signatures(
+        df, n_planes=n_planes, n_tables=1, id_col=id_col, vec_col=vec_col, seed=seed
+    ).drop("tbl")
 
 
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                    n_planes: int = 12, dim: int = 64,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates.
+                    n_planes: int = 4, n_tables: int = 32, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    normalized: bool = False) -> DataFrame:
+    """Approximate top-k with OR-amplified LSH: candidates = pairs colliding
+    in >=1 of L tables, exactly re-ranked by true cosine.
 
-    Recall < 1 by construction; bench against cosine_topk for the tradeoff."""
-    c = hyperplane_signature(corpus, n_planes, dim, id_col, vec_col)
-    q = hyperplane_signature(queries, n_planes, dim, id_col, vec_col).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "bucket")
+    Same output schema/scoring as cosine_topk so recall is directly
+    comparable (tests/test_functions.py pins recall >= 0.9 at the driver
+    parameters). At scale: L bucketed joins expressed as ONE join on
+    (tbl, bucket) over the exploded signatures; the per-pair dedupe before
+    scoring keeps the re-rank O(#distinct candidates).
+
+    Parameter honesty: collision prob per table at angle θ is (1-θ/π)^n, so
+    (n_planes, n_tables) MUST be sized to the corpus's neighbor-angle
+    distribution. The sandbox embeddings are near-uniform (true top-5
+    neighbors sit at cos≈0.24-0.40, i.e. ~70-76°, barely better than the 90°
+    of random pairs — the worst case for any sublinear ANN, LSH or IVF; an
+    IVF probe sweep measured ≤0.62 recall at any candidate fraction ≤0.38).
+    The defaults (4, 32) give ~0.98 expected recall there at the cost of a
+    large candidate fraction at 500 docs; on a real embedding corpus with
+    close neighbors (cos≥0.7), n_planes=8-16 prunes aggressively at the same
+    recall. The knobs exist precisely because this tradeoff is data-owned."""
+    c = hyperplane_signatures(corpus, n_planes, n_tables, id_col, vec_col, seed)
+    q = hyperplane_signatures(queries, n_planes, n_tables, id_col, vec_col, seed).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "tbl", "bucket")
     cand = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("id") != F.col("query_id"))
+        # OR-amplification dedupe: a pair colliding in several tables scores once
+        .dropDuplicates(["query_id", "id"])
     )
-    score = F.round(_dot(F.col("qvec"), F.col("vec")), 4)
+    dot = _dot(F.col("qvec"), F.col("vec"))
+    score = dot if normalized else dot / (_norm(F.col("qvec")) * _norm(F.col("vec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        cand.select("query_id", F.col("id").alias("neighbor_id"), score.alias("score"))
+        cand.select("query_id", F.col("id").alias("neighbor_id"),
+                    F.round(score, 4).alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")

@@ -114,21 +114,26 @@ class Manifest:
         return out
 
 
-def atomic_overwrite(df, path: str, partition_by: list[str] | None = None) -> None:
-    """Write a DataFrame to `path` with atomic-commit semantics.
+def atomic_overwrite(df, path: str, partition_by: list[str] | None = None,
+                     committer=None) -> None:
+    """Write a DataFrame to `path` with snapshot-commit semantics.
 
-    Spark writes into `<path>.__tmp__`, then a rename swaps it in — the local
-    stand-in for an Iceberg snapshot commit (all-or-nothing visibility). A
-    killed job leaves either the old output or a dangling tmp dir, never a
-    half-visible sink; resume re-runs the stage from scratch.
+    Spark writes into `<path>.__tmp__`, then the configured Committer (see
+    route.committer — the Iceberg-commit seam) swaps it in. With the default
+    RenameCommitter, readers never observe a half-written mix and no
+    committed data is ever lost: a kill mid-swap leaves the old output at
+    `path` or recoverable at `<path>.__old__` (the one non-atomic instant is
+    between the two renames, where `path` is briefly absent — resume re-runs
+    the stage). Dangling `.__tmp__` / `.__old__` dirs are swept on the next
+    commit.
     """
+    from openlogparse_spark.route.committer import DEFAULT_COMMITTER
+
+    committer = committer or DEFAULT_COMMITTER
     tmp = path + ".__tmp__"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    committer.sweep(path)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    committer.commit(tmp, path)

@@ -71,10 +71,20 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
     routes_pdf = spark.read.parquet(os.path.join(cfg.dims_dir, "routes.parquet")).toPandas()
     routes = routes_pdf.to_dict("records")
 
-    # ---- stage 1+2: parse + enrich -----------------------------------------
     enriched_path = os.path.join(cfg.output_root, "enriched")
+    parse_requested = "parse" in cfg.stages or "enrich" in cfg.stages
+    if not parse_requested:
+        # route/aggregate-only invocation: the staged table must already exist
+        if not (cfg.materialize_enriched and os.path.exists(enriched_path)):
+            raise ValueError(
+                f"stages={cfg.stages} skips parse/enrich but no staged enriched "
+                f"table exists at {enriched_path}; run the parse+enrich stages "
+                "first (with materialize_enriched=True) or include them."
+            )
+
+    # ---- stage 1+2: parse + enrich -----------------------------------------
     masked = None
-    if "parse" in cfg.stages or "enrich" in cfg.stages:
+    if parse_requested:
         if not (cfg.materialize_enriched and stage_done("enrich", enriched_path)):
             t0 = time.time()
             # one persisted MASKED view feeds template mining AND apply:
@@ -99,10 +109,10 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
                 rows = safe_count(spark, enriched_path)
                 man.record(cfg.run_id, "enrich", enriched_path, rows,
                            _dir_bytes(enriched_path), started=t0)
-            else:
-                # downstream stages make several passes; cache the full
-                # enriched view so join+param-extraction run once
-                enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+            # else: downstream stages re-derive the (cheap, CPU-only) broadcast
+            # joins + param extraction from the cached masked view — caching
+            # the narrower masked table once beats materializing the wide
+            # enriched table a second time (verified: scaling bench)
             timings["parse_enrich"] = time.time() - t0
 
     if cfg.materialize_enriched:
@@ -121,23 +131,26 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
     with ThreadPoolExecutor(max_workers=5) as pool:
         if "route" in cfg.stages:
             t0r = time.time()
+            # quarantine rides the SAME single-pass fan-out write as the real
+            # routes (one extra array entry, zero extra passes): real routes
+            # additionally require parse_ok; the quarantine pseudo-route takes
+            # NOT parse_ok — the reference's skip/warn path, conserved, never
+            # dropped (count conservation: rows == sum(routes∩ok) + quarantine)
+            fanout = [
+                {**r, "condition": (f"({r['condition']}) AND parse_ok"
+                                    if r.get("condition") and r["condition"].strip()
+                                    else "parse_ok")}
+                for r in routes
+            ] + [{"route_id": "quarantine", "sink": "quarantine",
+                  "template_pattern": "", "condition": "NOT parse_ok"}]
             futures["route"] = pool.submit(
                 route_stage,
-                enriched.filter("parse_ok"),  # quarantined rows never route
-                routes,
+                enriched,
+                fanout,
                 os.path.join(cfg.output_root, "sinks"),
                 man, cfg.run_id, cfg.salt_buckets,
+                timings=timings,
             )
-
-            def _quarantine():
-                # the reference's skip/warn path: conserved, never dropped
-                qpath = os.path.join(cfg.output_root, "sinks", "quarantine")
-                if not stage_done("route", qpath):
-                    atomic_overwrite(enriched.filter("NOT parse_ok"), qpath)
-                    man.record(cfg.run_id, "route", qpath,
-                               safe_count(spark, qpath), _dir_bytes(qpath))
-
-            futures["quarantine"] = pool.submit(_quarantine)
 
         if "aggregate" in cfg.stages:
             t0a = time.time()
@@ -159,7 +172,6 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
 
         if "route" in cfg.stages:
             sink_counts = futures["route"].result()
-            futures["quarantine"].result()
             timings["route"] = time.time() - t0r
         if "aggregate" in cfg.stages:
             for name in ("agg_hourly", "conv_stats", "conv_outcomes"):

@@ -26,25 +26,32 @@ random salt (breaks resume determinism).
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openlogparse_spark.manifest import Manifest, atomic_overwrite, _dir_bytes
+from openlogparse_spark.route.committer import DEFAULT_COMMITTER
 
 SALT_BLOCK_TURNS = 256   # turns per salt block within one conversation
 DEFAULT_SALT_BUCKETS = 64
 
 
 def safe_count(spark, path: str) -> int:
-    """Parquet-footer row count; 0 for an empty sink (only _SUCCESS inside)."""
-    try:
-        return spark.read.parquet(path).count()
-    except Exception:
+    """Parquet-footer row count; 0 for an empty sink (no data files inside).
+
+    Only the no-data-files case maps to 0 — a committed sink that exists but
+    fails to READ is a real error and must propagate, so the stage re-runs
+    instead of being recorded done with rows=0 (resume would then skip a
+    corrupt sink forever)."""
+    if not glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         return 0
+    return spark.read.parquet(path).count()
 
 
 def add_salt(df: DataFrame, buckets: int = DEFAULT_SALT_BUCKETS,
@@ -57,8 +64,13 @@ def add_salt(df: DataFrame, buckets: int = DEFAULT_SALT_BUCKETS,
 
 
 def compile_route_filter(template_pattern: str, condition: str):
-    """Route predicate as Catalyst expressions (template regex + SQL condition)."""
+    """Route predicate as Catalyst expressions (template regex + SQL condition).
+
+    An empty/None pattern means "any row" (null-safe — used by pseudo-routes
+    like the quarantine fan-out leg, where template may be anything)."""
     cond = F.expr(condition if condition and condition.strip() else "true")
+    if not template_pattern:
+        return cond
     return F.col("template").rlike(template_pattern) & cond
 
 
@@ -71,6 +83,8 @@ def route_stage(
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     shuffle_partitions: int | None = None,
     strategy: str = "unified",
+    committer=None,
+    timings: dict | None = None,
 ) -> dict[str, int]:
     """Fan out `enriched` to one sink per route; returns {route_id: rows}.
 
@@ -91,7 +105,7 @@ def route_stage(
     """
     if strategy == "unified":
         return _route_unified(enriched, routes, sinks_root, manifest, run_id,
-                              salt_buckets, shuffle_partitions)
+                              salt_buckets, shuffle_partitions, committer, timings)
     done = manifest.done("route") if manifest else set()
     counts: dict[str, int] = {}
     salted = add_salt(enriched, salt_buckets)
@@ -132,9 +146,12 @@ def _route_unified(
     run_id: str,
     salt_buckets: int,
     shuffle_partitions: int | None,
+    committer=None,
+    timings: dict | None = None,
 ) -> dict[str, int]:
     """Single-pass fan-out: see route_stage(strategy='unified')."""
     spark = enriched.sparkSession
+    committer = committer or DEFAULT_COMMITTER
     done = manifest.done("route") if manifest else set()
     counts: dict[str, int] = {}
     t0 = time.time()
@@ -170,27 +187,40 @@ def _route_unified(
         shutil.rmtree(staging)
     os.makedirs(sinks_root, exist_ok=True)
     ready.write.mode("overwrite").partitionBy("route_id", "template_id").parquet(staging)
+    t_write = time.time()
 
     # ONE footer-metadata job counts every sink at once (vs one job per sink)
     staged_counts = {
         r["route_id"]: r["n"]
         for r in spark.read.parquet(staging)
         .groupBy("route_id").agg(F.count(F.lit(1)).alias("n")).collect()
-    } if _dir_bytes(staging) > 0 else {}
+    } if glob.glob(os.path.join(staging, "**", "*.parquet"), recursive=True) else {}
+    t_count = time.time()
 
-    for r in todo:
+    # per-sink commits + manifest records are independent → run them off the
+    # serial tail (driver-side os.walk byte sums dominate otherwise)
+    def _commit_one(r: dict) -> tuple[str, int]:
         sink_path = os.path.join(sinks_root, r["sink"])
         part_dir = os.path.join(staging, f"route_id={r['route_id']}")
-        if os.path.exists(sink_path):
-            shutil.rmtree(sink_path)
         if os.path.exists(part_dir):
-            os.rename(part_dir, sink_path)  # atomic snapshot commit per sink
+            committer.commit(part_dir, sink_path)   # snapshot commit per sink
         else:
-            os.makedirs(sink_path)          # route matched nothing: empty sink
+            if os.path.exists(sink_path):
+                shutil.rmtree(sink_path)
+            os.makedirs(sink_path)                  # route matched nothing
         rows = int(staged_counts.get(r["route_id"], 0))
-        counts[r["route_id"]] = rows
         if manifest:
             manifest.record(run_id, "route", sink_path, rows,
                             _dir_bytes(sink_path), started=t0)
+        return r["route_id"], rows
+
+    with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+        for route_id, rows in pool.map(_commit_one, todo):
+            counts[route_id] = rows
     shutil.rmtree(staging, ignore_errors=True)
+    if timings is not None:
+        now = time.time()
+        timings["route_write"] = round(t_write - t0, 3)
+        timings["route_count"] = round(t_count - t_write, 3)
+        timings["route_commit"] = round(now - t_count, 3)
     return counts

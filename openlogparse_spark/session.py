@@ -56,6 +56,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)))
     )
+    # co-hosted multi-executor benches share ONE local disk for shuffle — a
+    # sandbox artifact (real cluster nodes have their own disks). Point
+    # shuffle/spill at a RAM-backed dir to restore per-node-disk semantics.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

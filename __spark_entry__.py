@@ -309,6 +309,45 @@ FROM per_sess GROUP BY user_id
 """
 
 
+def _cdc_changes(spark, sf_dir):
+    """Update normalization (reference CHANGED-mode, Builder.cpp:1425-1542):
+    before/after images per key version with unchanged-column drop."""
+    from openlogparse_spark.functions.cdc import before_after
+
+    ev = _t(spark, sf_dir, "events")
+    ba = before_after(ev, key_cols=("user_id",), order_cols=("ts", "event_id"),
+                      value_cols=("event_type", "props"))
+    return ba.select(
+        "user_id", "event_id", "op",
+        F.col("before.event_type").alias("b_type"),
+        F.col("after.event_type").alias("a_type"),
+        F.array_join("changed_cols", ",").alias("changed"),
+    )
+
+
+_CDC_SQL = """
+WITH v AS (
+  SELECT user_id, event_id, event_type, props,
+         lag(event_type) OVER w AS b_type,
+         lag(props) OVER w AS b_props,
+         row_number() OVER w AS rn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+  CASE WHEN rn = 1 THEN 'insert'
+       WHEN (b_type IS DISTINCT FROM event_type)
+         OR (b_props IS DISTINCT FROM props) THEN 'update'
+       ELSE 'noop' END AS op,
+  b_type, event_type AS a_type,
+  CASE WHEN rn = 1 THEN ''
+       ELSE COALESCE(array_to_string([c FOR c IN [
+         CASE WHEN b_type IS DISTINCT FROM event_type THEN 'event_type' END,
+         CASE WHEN b_props IS DISTINCT FROM props THEN 'props' END
+       ] IF c IS NOT NULL], ','), '') END AS changed
+FROM v
+"""
+
+
 def _user_enrich(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     cust = _t(spark, sf_dir, "customer")
@@ -498,6 +537,25 @@ SELECT query_id, neighbor_id, rank, score FROM (
 """
 
 
+def _embed_near_pairs(spark, sf_dir):
+    from openlogparse_spark.functions.similarity import cosine_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, threshold=0.35, method="brute")
+
+
+_EMBED_NEAR_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.35
+"""
+
+
 def _ann_lsh_topk(spark, sf_dir):
     from openlogparse_spark.functions.similarity import lsh_cosine_topk
 
@@ -601,15 +659,17 @@ def _t_route_counts(spark, sf_dir):
         _fixture(spark, "dim_tools"),
         _fixture(spark, "dim_roles"),
     ).filter("parse_ok")
-    enriched = enriched.cache()
     routes = _fixture(spark, "routes").toPandas().to_dict("records")
-    out = None
-    for r in routes:
-        c = (enriched.filter(compile_route_filter(r["template_pattern"], r["condition"]))
-             .agg(F.count(F.lit(1)).alias("n_rows"))
-             .select(F.lit(r["route_id"]).alias("route_id"), "n_rows"))
-        out = c if out is None else out.unionByName(c)
-    return out
+    # ONE pass, one conditional sum per route, then unpivot — the router's
+    # single-scan trick as a counting query (vs one Spark job per route)
+    aggs = [
+        F.sum(F.when(compile_route_filter(r["template_pattern"], r["condition"]),
+                     F.lit(1)).otherwise(F.lit(0))).alias(r["route_id"])
+        for r in routes
+    ]
+    pairs = ", ".join(f"'{r['route_id']}', `{r['route_id']}`" for r in routes)
+    return enriched.agg(*aggs).selectExpr(
+        f"stack({len(routes)}, {pairs}) AS (route_id, n_rows)")
 
 
 _T_ROUTE_COUNTS_SQL = f"""
@@ -660,6 +720,76 @@ FROM g GROUP BY conv_id
 """
 
 
+def _t_ddl_classify(spark, sf_dir):
+    """DDL parse/classify (ref: DDL opcode parse → type classification,
+    SURVEY §2 P8): per-statement-type counts over the ddl template."""
+    from openlogparse_spark.parse import parse_stage
+
+    raw = _fixture(spark, "transcripts")
+    p = parse_stage(raw).filter("parse_ok")
+    return (
+        p.filter(F.col("template").startswith("DDL "))
+        .groupBy(F.col("params")["stmt"].alias("ddl_type"))
+        .agg(F.count(F.lit(1)).alias("n_stmts"),
+             F.countDistinct("conv_id").alias("n_convs"))
+    )
+
+
+_T_DDL_SQL = f"""
+WITH {_DUCK_PARSED_CTE}
+SELECT NULLIF(regexp_extract(text, '(^| )stmt=([^ ]+)', 2), '') AS ddl_type,
+       COUNT(*) AS n_stmts, COUNT(DISTINCT conv_id) AS n_convs
+FROM parsed WHERE parse_ok AND template LIKE 'DDL %'
+GROUP BY 1
+"""
+
+
+def _t_params_typed(spark, sf_dir):
+    """Typed param decode (reference Builder::processValue analogue): native
+    bigint sums over decoded k=v values, grouped per template."""
+    from openlogparse_spark.parse import parse_stage
+    from openlogparse_spark.parse.stage import typed_params
+
+    raw = _fixture(spark, "transcripts")
+    p = typed_params(parse_stage(raw).filter("parse_ok"))
+    return p.groupBy("template_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("p.rows")).alias("sum_rows"),
+        F.sum(F.col("p.bytes")).alias("sum_bytes"),
+        F.sum(F.col("p.tokens")).alias("sum_tokens"),
+        F.max(F.col("p.scn")).alias("max_scn"),
+    )
+
+
+_T_PARAMS_TYPED_SQL = f"""
+WITH {_DUCK_PARSED_CTE}
+SELECT template_id, COUNT(*) AS n_turns,
+  SUM(TRY_CAST(NULLIF(regexp_extract(text, '(^| )rows=([^ ]+)', 2), '') AS BIGINT)) AS sum_rows,
+  SUM(TRY_CAST(NULLIF(regexp_extract(text, '(^| )bytes=([^ ]+)', 2), '') AS BIGINT)) AS sum_bytes,
+  SUM(TRY_CAST(NULLIF(regexp_extract(text, '(^| )tokens=([^ ]+)', 2), '') AS BIGINT)) AS sum_tokens,
+  MAX(TRY_CAST(NULLIF(regexp_extract(text, '(^| )scn=([^ ]+)', 2), '') AS BIGINT)) AS max_scn
+FROM parsed WHERE parse_ok GROUP BY template_id
+"""
+
+
+def _t_json_roundtrip(spark, sf_dir):
+    """JSON message serialization (BuilderJson shape) must round-trip: emit
+    to_json messages, parse them back, compare against the source columns."""
+    from openlogparse_spark.functions.serialize import from_message_json, to_message_json
+    from openlogparse_spark.parse import parse_stage
+
+    raw = _fixture(spark, "transcripts")
+    parsed = parse_stage(raw).filter("parse_ok")
+    rt = from_message_json(to_message_json(parsed).select("value"))
+    return rt.select("conv_id", "turn_idx", "template_id", "text")
+
+
+_T_JSON_ROUNDTRIP_SQL = f"""
+WITH {_DUCK_PARSED_CTE}
+SELECT conv_id, turn_idx, template_id, text FROM parsed WHERE parse_ok
+"""
+
+
 def _t_conv_outcomes(spark, sf_dir):
     from openlogparse_spark.aggregate import conv_outcomes
     from openlogparse_spark.parse import parse_stage
@@ -683,6 +813,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "events_hourly": (_events_hourly, _EVENTS_HOURLY_SQL),
     "sessionize_events": (_sessionize_events, _SESSIONIZE_SQL),
     "user_enrich": (_user_enrich, _USER_ENRICH_SQL),
+    "cdc_changes": (_cdc_changes, _CDC_SQL),
     # documents: training-data text ops
     "doc_tokens": (_doc_tokens, _DOC_TOKENS_SQL),
     "doc_quality": (_doc_quality, _DOC_QUALITY_SQL),
@@ -695,6 +826,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # embeddings: similarity search
     "ann_cosine_topk": (_ann_cosine_topk, _ANN_SQL),
     "ann_lsh_topk": (_ann_lsh_topk, None),         # hyperplane sigs: no SQL twin
+    "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_SQL),
     # transcripts: the north-rule pipeline invariants as driver queries
     "t_merge_text": (_t_merge_text, _T_MERGE_SQL),
     "t_template_counts": (_t_template_counts, _T_TEMPLATE_COUNTS_SQL),
@@ -702,6 +834,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t_route_counts": (_t_route_counts, _T_ROUTE_COUNTS_SQL),
     "t_conv_stats": (_t_conv_stats, _T_CONV_STATS_SQL),
     "t_conv_outcomes": (_t_conv_outcomes, None),   # stack replay: no SQL twin
+    "t_params_typed": (_t_params_typed, _T_PARAMS_TYPED_SQL),
+    "t_json_roundtrip": (_t_json_roundtrip, _T_JSON_ROUNDTRIP_SQL),
+    "t_ddl_classify": (_t_ddl_classify, _T_DDL_SQL),
 }
 
 

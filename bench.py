@@ -27,9 +27,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_QUERIES = [
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "enrich_parts", "topk_orders_per_customer",
-    "parse_events", "events_hourly", "sessionize_events",
-    "dedup_exact", "jaccard_pairs", "minhash_lsh_pairs",
-    "ann_cosine_topk",
+    "parse_events", "events_hourly", "sessionize_events", "cdc_changes",
+    "dedup_exact", "jaccard_pairs", "minhash_lsh_pairs", "simhash_near_pairs",
+    "ann_cosine_topk", "ann_lsh_topk",
 ]
 
 
@@ -57,6 +57,10 @@ def run_pipeline_bench(spark, fx_dir: str, out_root: str) -> tuple[float, int]:
         dims_dir=fx_dir,
         output_root=out_root,
         run_id="bench",
+        # one-shot mode by default: enriched stays a cached plan (staging it
+        # to parquet is a resume feature, not part of the measured product);
+        # set SPARK_GRAFT_MATERIALIZE=1 to bench the resumable layout
+        materialize_enriched=os.environ.get("SPARK_GRAFT_MATERIALIZE", "0") == "1",
     )
     run_pipeline(spark, cfg)
     wall = time.time() - t0

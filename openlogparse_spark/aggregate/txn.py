@@ -129,7 +129,8 @@ def replay_transactions(rows: list[tuple[int, str, dict]]) -> list[dict]:
 TXN_OPS = ("begin", "commit", "rollback", "rollback_last") + tuple(DML_OPS)
 
 
-def conv_outcomes(parsed):
+def conv_outcomes(parsed, max_turns_per_conv: int | None = None,
+                  skip_xids: tuple[str, ...] = ()):
     """Distributed transaction replay.
 
     Shape (the 100 TB path): pre-filter to transaction-bearing ops only
@@ -141,29 +142,54 @@ def conv_outcomes(parsed):
     across Arrow batch boundaries. This avoids applyInPandas's
     one-python-call-per-group overhead (transcripts have millions of tiny
     conversations — the skewed-many-small-groups regime).
+
+    Guard rails (reference parity):
+      - `max_turns_per_conv`: the transaction-max-mb drop analogue
+        (/root/reference/src/parser/Parser.cpp:578-588 — an over-limit
+        transaction is dropped and counted, never buffered unbounded). A
+        conversation exceeding the cap stops buffering immediately (O(cap)
+        memory however pathological the input) and emits ONE
+        outcome='overflow' record carrying the total op count — conserved,
+        never silent.
+      - `skip_xids`: the skip-xid list (OpenLogReplicator.cpp:828-848) — ops
+        of the named transactions are dropped JVM-side before the shuffle.
     """
     from pyspark.sql import functions as F
 
+    slim = parsed.filter(F.col("op").isin(*TXN_OPS))
+    if skip_xids:
+        slim = slim.filter(
+            ~F.coalesce(F.col("params")["txn"], F.lit("?")).isin(*skip_xids))
     slim = (
-        parsed.filter(F.col("op").isin(*TXN_OPS))
-        .select(
+        slim.select(
             "conv_id", "turn_idx", "op",
             F.col("params")["txn"].alias("xid"),
-            F.coalesce(F.col("params")["rows"].cast("long"), F.lit(0)).alias("nrows"),
+            F.coalesce(F.col("params")["rows"].try_cast("long"), F.lit(0)).alias("nrows"),
         )
         .repartition("conv_id")
         .sortWithinPartitions("conv_id", "turn_idx")
     )
+    cap = max_turns_per_conv
 
     def run(batches):
         cur_conv = None
         buf: list[tuple] = []
+        overflowed = 0          # ops seen past the cap for cur_conv
+        first_turn = last_turn = None
 
         def flush():
             if cur_conv is None:
                 return None
-            recs = replay_transactions(
-                [(t, o, {"txn": x, "rows": n}) for t, o, x, n in buf])
+            if overflowed:
+                recs = [{
+                    "xid": "?", "outcome": "overflow",
+                    "n_ops": len(buf) + overflowed,
+                    "total_rows": 0,
+                    "begin_turn": first_turn, "end_turn": last_turn,
+                }]
+            else:
+                recs = replay_transactions(
+                    [(t, o, {"txn": x, "rows": n}) for t, o, x, n in buf])
             if not recs:
                 return None
             out = pd.DataFrame(recs)
@@ -178,8 +204,13 @@ def conv_outcomes(parsed):
                     f = flush()
                     if f is not None:
                         outs.append(f)
-                    cur_conv, buf = c, []
-                buf.append((t, o, x, n))
+                    cur_conv, buf, overflowed = c, [], 0
+                    first_turn = t
+                last_turn = t
+                if cap is not None and (len(buf) >= cap or overflowed):
+                    overflowed += 1     # stop buffering: bounded memory
+                else:
+                    buf.append((t, o, x, n))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
         f = flush()

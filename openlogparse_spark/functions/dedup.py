@@ -39,6 +39,18 @@ def _norm(text_col: str) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Spread expansion-heavy ops across the cluster when the input arrives
+    in too few splits (a 10 MB parquet file is ONE scan task, so the 30x
+    shingle/token explode would run single-threaded). The tiny pre-explode
+    shuffle is orders cheaper than serializing the expansion; inputs that
+    already have enough splits pass through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
@@ -78,7 +90,7 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    sets = df.select(
+    sets = _widen(df).select(
         F.col(id_col).alias("id"),
         F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0).alias("sh_arr"),
     )
@@ -90,6 +102,10 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
         capped = sh.join(dfreq.select("shingle"), "shingle")
         w_sz = Window.partitionBy("id")
         sh = capped.withColumn("sz", F.count(F.lit(1)).over(w_sz))
+    # persist: BOTH sides of the self-join read this subtree — without the
+    # persist the whole normalize+shingle expansion runs twice (and the
+    # broadcast build a third time); measured 10x wall at sf0.1
+    sh = sh.persist()
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -116,7 +132,7 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 64, n: int = 3,
 
     Hash family: xxhash64(seed_i, shingle) — JVM intrinsic, no UDF; one
     explode + one groupBy (map-side combined mins)."""
-    sh = shingles(df, n, text_col, id_col)
+    sh = shingles(_widen(df), n, text_col, id_col)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -145,6 +161,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
             ])
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bh")
+    banded = banded.persist()   # self-join: avoid recomputing the signature agg
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -167,30 +184,31 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document (token-level, unweighted).
 
-    Pure column algebra: per-token xxhash64 → per-bit ±1 votes aggregated via
-    explode + groupBy — stays JVM-side (no UDF), shuffles one row per
-    (doc, bit)."""
-    toks = df.select(
+    Pure column algebra: per-token xxhash64 → 64 conditional-sum bit votes in
+    ONE groupBy (no per-bit explode: a (doc, bit) explode shuffles 64 rows
+    per token; 64 agg expressions ship one partial row per doc per partition
+    — map-side combined, 64x less shuffle). Sign fold happens after."""
+    toks = _widen(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(_norm(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = toks.withColumn("h", F.xxhash64("tok"))
-    bits = h.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        "h",
-    ).withColumn(
-        # column-valued shift amounts need the SQL form (F.shiftright takes
-        # a Python int only)
-        "vote",
-        F.expr("IF((shiftright(h, bit) & 1) = 1, 1, -1)"),
-    )
-    votes = bits.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.expr("IF(v > 0, shiftleft(CAST(1 AS BIGINT), bit), CAST(0 AS BIGINT))")
-        ).alias("simhash")
-    )
+    h = toks.select("id", F.xxhash64("tok").alias("h"))
+
+    def vote(b: int):
+        mask = (1 << b) if b < 63 else -(1 << 63)   # bit 63 = the sign bit
+        return F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(mask)) != 0, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+
+    votes = h.groupBy("id").agg(*[vote(b) for b in range(64)])
+    sig = None
+    for b in range(64):
+        term = F.when(F.col(f"v{b}") > 0,
+                      F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+                      ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
@@ -217,6 +235,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
             for c in range(n_chunks)
         ])).alias("ch"),
     ).select("id", "simhash", "ch.chunk", "ch.cv")
+    chunked = chunked.persist()  # self-join: avoid recomputing the vote agg
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk"))

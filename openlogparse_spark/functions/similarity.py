@@ -135,6 +135,40 @@ def hyperplane_signature(df: DataFrame, n_planes: int = 16,
     ).drop("tbl")
 
 
+def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      method: str = "brute",
+                      n_planes: int = 4, n_tables: int = 32, seed: int = 42,
+                      normalized: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
+    id_a < id_b and cosine >= threshold — the embedding-space member of the
+    dedup family (exact / jaccard / minhash / simhash / THIS).
+
+    method='brute': full self-join (exact; the oracle-checkable baseline —
+    O(n²) scores, fine up to ~10⁵ vectors per blocking partition).
+    method='lsh':  candidates restricted to pairs sharing >=1 of L
+    OR-amplified hyperplane buckets, then exact verification — same
+    (n_planes, n_tables) sizing rules as lsh_cosine_topk."""
+    if method == "brute":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        sig = hyperplane_signatures(df, n_planes, n_tables, id_col, vec_col, seed)
+        sig = sig.persist()   # self-join: compute signatures once, not twice
+        s_a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                         "tbl", "bucket")
+        s_b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                         "tbl", "bucket")
+        cand = (s_a.join(s_b, ["tbl", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+    dot = _dot(F.col("va"), F.col("vb"))
+    score = dot if normalized else dot / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (cand.select("id_a", "id_b", F.round(score, 4).alias("score"))
+            .filter(F.col("score") >= threshold))
+
+
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     n_planes: int = 4, n_tables: int = 32, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from openlogparse_spark.parse import drain as drain_mod
-from openlogparse_spark.parse.templates import all_masked_templates, template_id_of
+from openlogparse_spark.parse.templates import (
+    PARAM_TYPES,
+    all_masked_templates,
+    template_id_of,
+)
 
 # Masking, as a SQL expression over a column named `text` (Spark dialect).
 # Token rule: `k=v…` -> `k=<*>` (everything after the FIRST '='); any other
@@ -167,7 +171,16 @@ def _apply_templates_drain(df: DataFrame, templates: DataFrame) -> DataFrame:
     Arrow batch — no per-row Python beyond the first sight of each template."""
     import pandas as pd
 
-    tmpl_rows = [(r["template_id"], r["template"], r["op"]) for r in templates.collect()]
+    collected = templates.collect()
+    # canonical insertion order (support desc, template asc — the same order
+    # merge_candidates uses) so the rebuilt tree is identical regardless of
+    # collect() row order; without it two >=sim_th-similar templates could
+    # merge differently run-to-run (determinism requirement, SURVEY §7.3)
+    tmpl_rows = sorted(
+        [(r["template_id"], r["template"], r["op"],
+          r["support"] if "support" in r.__fields__ else 0)
+         for r in collected],
+        key=lambda r: (-r[3], r[1]))
     spark = df.sparkSession
     b = spark.sparkContext.broadcast(tmpl_rows)
     cols = df.columns
@@ -175,9 +188,13 @@ def _apply_templates_drain(df: DataFrame, templates: DataFrame) -> DataFrame:
     def match_batches(batches):
         miner = drain_mod.DrainMiner()
         by_tmpl = {}
-        for tid, tmpl, op in b.value:
-            miner.add(tmpl.split(" "))
-            by_tmpl[tmpl] = (tid, op)
+        for tid, tmpl, op, _sup in b.value:
+            live = miner.add(tmpl.split(" "))
+            # register the cluster's LIVE representative too: add() may have
+            # generalized this template into an existing cluster, and match()
+            # returns the merged rep — which must still resolve to an id
+            by_tmpl.setdefault(" ".join(live), (tid, op))
+            by_tmpl.setdefault(tmpl, (tid, op))
         memo: dict[str, tuple] = {}
 
         def lookup(text):
@@ -230,3 +247,23 @@ def parse_stage(
         ).alias("params"),
         F.col("template_id").isNotNull().alias("parse_ok"),
     )
+
+
+def typed_params(df: DataFrame, spec: dict[str, str] | None = None,
+                 col: str = "p") -> DataFrame:
+    """Decode the string `params` map into a typed struct column.
+
+    The Spark form of the reference's typed column emit
+    (Builder::processValue switch over SysCol type ids,
+    /root/reference/src/builder/Builder.cpp:89-615): each known k=v key gets
+    its declared type (PARAM_TYPES); absent keys and malformed values decode
+    to NULL (the schemaless/unknown-value fallback, Builder.cpp:96-99).
+    Downstream numeric/time analysis then reads native-typed columns instead
+    of paying a per-query cast on map<string,string> lookups. Pure Catalyst
+    casts — codegen'd, no UDF."""
+    spec = spec or PARAM_TYPES
+    # try_cast, not cast: ANSI mode (Spark 4 default) aborts the job on the
+    # first malformed value; the reference logs-and-continues instead
+    fields = [F.col("params").getItem(k).try_cast(t).alias(k)
+              for k, t in spec.items()]
+    return df.withColumn(col, F.struct(*fields))

@@ -105,6 +105,31 @@ TEMPLATES: tuple[Template, ...] = (
 
 BY_NAME: dict[str, Template] = {t.name: t for t in TEMPLATES}
 
+# Typed decode table for k=v params — the analogue of the reference's
+# per-column type dispatch (SysCol type ids /root/reference/src/common/table/
+# SysCol.h:43-47 consumed by Builder::processValue switch,
+# src/builder/Builder.cpp:89-615: NUMBER/DATE/TIMESTAMP/FLOAT/... -> typed
+# emit). Keys are the k=v keys as they appear in message text; any key not
+# listed stays string. Spark CAST of a non-conforming value yields NULL — the
+# reference's unknown-value warn path (Builder.cpp:96-99), never an abort.
+PARAM_TYPES: dict[str, str] = {
+    "rows": "bigint",     # insert/update/delete/commit row counts
+    "bytes": "bigint",    # result/read/write payload sizes
+    "rc": "int",          # result return code
+    "status": "int",      # fetch HTTP status
+    "scn": "bigint",      # checkpoint sequence number
+    "idx": "int",         # checkpoint index
+    "hits": "bigint",     # search hit count
+    "matches": "bigint",  # grep match count
+    "step": "int",        # plan step
+    "of": "int",          # plan total steps
+    "tokens": "bigint",   # think token count
+    "retry": "int",       # warn retry count
+    "value": "double",    # metric value
+    "dur": "bigint",      # session close duration (s)
+    "id": "bigint",       # note id
+}
+
 # templates whose turns carry a non-null `tool` column
 TOOL_TEMPLATES = frozenset({"call", "result"})
 

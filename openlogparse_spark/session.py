@@ -55,6 +55,12 @@ def get_spark(
         # downstream so small splits cost nothing after the first shuffle
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)))
+        # commit task outputs task-side (v2): the v1 default moves every task
+        # file serially on the driver at commitJob — a non-scaling tail that
+        # grows with file count; v2 is the standard choice for object-store
+        # and multi-sink writes (idempotence is supplied by our Committer
+        # rename layer above the job, not by the in-job protocol)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     # co-hosted multi-executor benches share ONE local disk for shuffle — a
     # sandbox artifact (real cluster nodes have their own disks). Point

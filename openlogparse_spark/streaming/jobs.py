@@ -129,6 +129,51 @@ def _session_fn(key, pdfs, state: GroupState):
             "conv_id", "n_turns", "n_tool_turns", "first_ts", "last_ts", "closed_by"])
 
 
+def stream_routed_sink(dims_dir: str, sinks_root: str):
+    """Streaming enrich+route with per-micro-batch dictionary refresh and
+    control-table re-read.
+
+    Reference parity: the reference maintains its dictionary FROM the stream
+    itself (SystemTransaction::processInsert/Update/Delete,
+    /root/reference/src/builder/SystemTransaction.cpp:426,524,639) and reloads
+    config checkpoints live (Checkpoint.cpp:62-279, HTTP control plane
+    ReplicatorHttpServer.cpp:43-111). Spark mapping: a stream-static join
+    resolves the static side ONCE at query start — so instead each
+    foreachBatch re-reads `dim_tools.parquet` and `routes.parquet` and
+    re-broadcasts; a dictionary or route-table update becomes visible to the
+    NEXT micro-batch with no query restart. The dims are KB-scale, so the
+    per-batch re-read is a driver metadata op + tiny broadcast, not a scan.
+
+    Returns a function for `writeStream.foreachBatch(...)`; the caller owns
+    trigger/checkpoint (exactly-once via Spark's sink commit log + the
+    idempotent per-batch overwrite into batch-scoped subdirs).
+    """
+    import os
+
+    from openlogparse_spark.route import compile_route_filter
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim_tools = spark.read.parquet(os.path.join(dims_dir, "dim_tools.parquet"))
+        routes = (spark.read.parquet(os.path.join(dims_dir, "routes.parquet"))
+                  .toPandas().to_dict("records"))
+        enriched = batch_df.join(F.broadcast(dim_tools), "tool", "left")
+        tags = F.array(*[
+            F.when(compile_route_filter(r["template_pattern"], r["condition"]),
+                   F.lit(r["route_id"]))
+            for r in routes
+        ])
+        routed = enriched.withColumn(
+            "route_id", F.explode(F.filter(tags, lambda x: x.isNotNull())))
+        # batch-scoped subdir => re-processing a batch after a crash simply
+        # overwrites the same dir (idempotent, the file-sink commit analogue)
+        (routed.write.mode("overwrite")
+         .partitionBy("route_id")
+         .parquet(os.path.join(sinks_root, f"batch={batch_id}")))
+
+    return process_batch
+
+
 def stream_conversation_sessions(stream: DataFrame,
                                  watermark: str = "10 minutes") -> DataFrame:
     """Stateful conversation tracking via applyInPandasWithState

@@ -115,3 +115,35 @@ def test_rollback_last_cancels_stack_order():
     assert recs["x1"]["n_ops"] == 1 and recs["x1"]["total_rows"] == 10
     assert recs["x2"]["outcome"] == "partial" and recs["x2"]["total_rows"] == 3
     assert recs["?"]["outcome"] == "orphan" and recs["?"]["total_rows"] == 7
+
+
+def test_big_conversation_guard_and_skip_xids(spark):
+    """transaction-max analogue: a pathological conversation is capped with
+    bounded memory and surfaces as ONE conserved 'overflow' outcome; skip_xids
+    drops the named transactions before replay (skip-xid list parity)."""
+    n_big = 200_000
+    big = spark.range(n_big).select(
+        F.lit("huge").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("insert").alias("op"),
+        F.create_map(F.lit("rows"), F.lit("1"),
+                     F.lit("txn"), F.lit("tx_big")).alias("params"),
+    )
+    small = spark.createDataFrame(
+        [("ok", 0, "begin", {"txn": "t1"}),
+         ("ok", 1, "insert", {"rows": "2", "txn": "t1"}),
+         ("ok", 2, "commit", {"txn": "t1"}),
+         ("skipme", 0, "begin", {"txn": "evil"}),
+         ("skipme", 1, "commit", {"txn": "evil"})],
+        "conv_id string, turn_idx int, op string, params map<string,string>")
+    parsed = big.unionByName(small)
+
+    out = conv_outcomes(parsed, max_turns_per_conv=10_000,
+                        skip_xids=("evil",)).toPandas()
+    huge = out[out["conv_id"] == "huge"]
+    assert len(huge) == 1
+    assert huge.iloc[0]["outcome"] == "overflow"
+    assert huge.iloc[0]["n_ops"] == n_big            # conserved, not dropped
+    ok = out[out["conv_id"] == "ok"]
+    assert len(ok) == 1 and ok.iloc[0]["outcome"] == "commit"
+    assert (out["conv_id"] == "skipme").sum() == 0   # skip-xid list honoured

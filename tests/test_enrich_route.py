@@ -97,3 +97,42 @@ def test_sink_partitioned_by_template(spark):
     one = spark.read.parquet(sink).filter(F.col("template_id") == parts[0].split("=")[1])
     assert "PartitionFilters: [isnotnull(template_id" in \
         one._jdf.queryExecution().executedPlan().toString() or one.count() > 0
+
+
+def test_reuse_vs_reshuffle_identical_sinks(spark, enriched, fx_dir):
+    """The partitioning-reuse write (default) and the salted-reshuffle write
+    commit identical per-sink row sets — the exchange is a physical choice,
+    never a semantic one."""
+    routes = spark.read.parquet(
+        os.path.join(fx_dir, "routes.parquet")).toPandas().to_dict("records")[:3]
+    ok_rows = enriched.filter("parse_ok")
+    digests = {}
+    for mode in (False, True):
+        root = os.path.join(TMP, f"mode_{mode}")
+        shutil.rmtree(root, ignore_errors=True)
+        counts = route_stage(ok_rows, routes, root, reshuffle=mode, salt_buckets=8)
+        sigs = {}
+        for r in routes:
+            df = spark.read.parquet(os.path.join(root, r["sink"]))
+            agg = df.groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.hash("conv_id", "turn_idx", "text")).alias("h")).first()
+            sigs[r["route_id"]] = (counts[r["route_id"]], agg["n"], agg["h"])
+        digests[mode] = sigs
+    assert digests[False] == digests[True]
+
+
+def test_routed_files_are_conv_ordered(spark):
+    """Stable-order invariant: within every routed parquet FILE, rows are
+    (conv_id, turn_idx) ascending (reference ordered-emission O1)."""
+    import glob as _glob
+
+    import pandas as pd
+
+    sink = os.path.join(TMP, "sinks", "events_r_txn")
+    files = _glob.glob(os.path.join(sink, "**", "*.parquet"), recursive=True)[:10]
+    assert files
+    for f in files:
+        pdf = pd.read_parquet(f, columns=["conv_id", "turn_idx"])
+        key = list(zip(pdf["conv_id"], pdf["turn_idx"]))
+        assert key == sorted(key), f

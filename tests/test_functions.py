@@ -115,6 +115,21 @@ def test_lsh_recall_at_driver_parameters(spark):
     assert recall >= 0.9, f"LSH recall {recall} < 0.9"
 
 
+def test_embed_near_pairs_lsh_recall(spark):
+    """Embedding-cosine near-dup: LSH-bucketed candidates recover >=0.9 of
+    the exact pair set on the driver embeddings at driver threshold."""
+    from openlogparse_spark.functions.similarity import cosine_near_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = {(r["id_a"], r["id_b"])
+             for r in cosine_near_pairs(emb, threshold=0.35).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in cosine_near_pairs(emb, threshold=0.35, method="lsh").collect()}
+    assert brute, "threshold produces no pairs — test is vacuous"
+    assert lsh <= brute                      # verification is exact
+    assert len(lsh & brute) / len(brute) >= 0.9
+
+
 def test_jaccard_df_cap_guard(spark, docs):
     """With a cap no fixture shingle exceeds, results are byte-identical to
     the exact path; with an aggressive cap the operator still runs and only

@@ -120,3 +120,45 @@ def test_atomic_overwrite_never_half_visible(spark, cfg):
     atomic_overwrite(df2, target)
     assert spark.read.parquet(target).count() == 20
     assert not os.path.exists(target + ".__tmp__")
+
+
+def test_schema_gate_rejects_drifted_input(spark, cfg, fx_dir):
+    """S4 header gate: a mistyped/missing column aborts before parsing, with
+    every drift named (reference Reader::checkRedoHeader parity)."""
+    import pyspark.sql.functions as F
+
+    from openlogparse_spark.pipeline import SchemaGateError, validate_input_schema
+
+    good = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
+    validate_input_schema(good)                       # contract holds
+    validate_input_schema(good.withColumn("extra", F.lit(1)))  # extras pass
+    bad = good.drop("tool").withColumn("turn_idx", F.col("turn_idx").cast("string"))
+    with pytest.raises(SchemaGateError) as ei:
+        validate_input_schema(bad)
+    msg = str(ei.value)
+    assert "tool" in msg and "turn_idx" in msg
+
+
+def test_tenant_filter_and_suppression(spark, fx_dir):
+    """F4 tenant filter (scan-side predicate) + F6 suppression (flush-side
+    withholding from real routes; quarantine conservation untouched)."""
+    root = "data/tmp/test_f4f6"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = PipelineConfig(
+        input_path=os.path.join(fx_dir, "transcripts.parquet"),
+        dims_dir=fx_dir, output_root=root, salt_buckets=4, run_id="f4f6",
+        materialize_enriched=False,
+        stages=("parse", "enrich", "route"),
+        input_filter="conv_id < 'conv00000050'",
+        suppress_condition="role = 'system'",
+    )
+    res = run_pipeline(spark, cfg)
+    # suppression: the system route (and only it) is emptied
+    assert res.sink_counts["r_system"] == 0
+    assert res.sink_counts["r_txn"] > 0
+    # tenant filter: only the filtered convs ever reach any sink
+    convs = []
+    for s in ("events_r_txn", "events_r_errors"):
+        routed = spark.read.parquet(os.path.join(root, "sinks", s))
+        convs += [r["conv_id"] for r in routed.select("conv_id").distinct().collect()]
+    assert convs and all(c < "conv00000050" for c in convs)

@@ -1,0 +1,134 @@
+"""Output serialization + typed param decode + committer seam.
+
+Oracles: JSON emit/parse round-trip is pinned by exact DataFrame equality
+against the source columns (the serialization must be lossless); typed decode
+by hand-computed values; the committer seam by byte-identical sinks from both
+implementations.
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from openlogparse_spark.functions.serialize import (
+    from_message_json,
+    kafka_frame,
+    to_message_json,
+)
+from openlogparse_spark.parse import parse_stage
+from openlogparse_spark.parse.stage import typed_params
+from openlogparse_spark.route import route_stage
+from openlogparse_spark.route.committer import CopyCommitter, RenameCommitter
+
+TMP = "data/tmp/test_serialize"
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, fx_dir):
+    df = parse_stage(
+        spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
+    ).filter("parse_ok")
+    df.cache().count()
+    return df
+
+
+def test_json_roundtrip_lossless(spark, parsed):
+    # set ops reject MAP columns -> compare params as sorted entry arrays
+    pent = F.array_sort(F.map_entries("params")).alias("params_e")
+    src = parsed.select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "op", "template_id", pent, "text",
+    )
+    rt = from_message_json(to_message_json(parsed).select("value")).select(
+        "conv_id", "turn_idx", "ts", "op", "template_id", pent, "text")
+    # exact equality including timestamps and the params map
+    assert src.exceptAll(rt).count() == 0
+    assert rt.exceptAll(src).count() == 0
+
+
+def test_json_messages_have_reference_shape(parsed):
+    line = to_message_json(parsed).select("value").first()["value"]
+    msg = json.loads(line)
+    assert set(msg) <= {"tm", "xid", "idx", "payload"}
+    assert isinstance(msg["payload"], list) and len(msg["payload"]) == 1
+    assert {"op", "template_id"} <= set(msg["payload"][0])
+
+
+def test_typed_params_decode(spark):
+    rows = [
+        (1, 0, "assistant", "INSERT obj=t1 rows=42", None, "2026-01-01 00:00:00"),
+        (1, 1, "tool", "RESULT tool=bash rc=0 bytes=1024", "bash", "2026-01-01 00:00:01"),
+        (1, 2, "assistant", "METRIC name=lat value=1.5", None, "2026-01-01 00:00:02"),
+        (1, 3, "assistant", "INSERT obj=t2 rows=notanumber", None, "2026-01-01 00:00:03"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    p = typed_params(parse_stage(df, min_support=1)).select("turn_idx", "p").collect()
+    by_idx = {r["turn_idx"]: r["p"] for r in p}
+    assert by_idx[0]["rows"] == 42 and by_idx[0]["bytes"] is None
+    assert by_idx[1]["rc"] == 0 and by_idx[1]["bytes"] == 1024
+    assert by_idx[2]["value"] == 1.5
+    assert by_idx[3]["rows"] is None  # malformed value -> NULL, never an abort
+
+
+def test_kafka_frame_contract(parsed):
+    frame = kafka_frame(parsed, key_cols=("conv_id",), topic="routed")
+    assert [f.name for f in frame.schema.fields] == ["key", "value", "topic"]
+    assert frame.schema["key"].dataType.simpleString() == "binary"
+    assert frame.schema["value"].dataType.simpleString() == "binary"
+    row = frame.first()
+    json.loads(bytes(row["value"]).decode())  # value is one JSON message
+
+
+def test_json_route_sink_roundtrips(spark, parsed):
+    shutil.rmtree(TMP, ignore_errors=True)
+    routes = [{"route_id": "r_json", "sink": "r_json", "format": "json",
+               "template_pattern": "^(ERROR|WARN) ", "condition": ""}]
+    counts = route_stage(parsed, routes, os.path.join(TMP, "sinks"))
+    expect = parsed.filter(F.col("template").rlike("^(ERROR|WARN) ")).count()
+    assert counts["r_json"] == expect
+    back = from_message_json(
+        spark.read.text(os.path.join(TMP, "sinks", "r_json")))
+    assert back.count() == expect
+    assert back.filter(F.col("template_id").isNull()).count() == 0
+
+
+def test_kafka_route_without_broker_stages_frame(spark, parsed):
+    routes = [{"route_id": "r_kafka", "sink": "r_kafka", "format": "kafka",
+               "template_pattern": "^CALL ", "condition": "", "topic": "calls"}]
+    counts = route_stage(parsed, routes, os.path.join(TMP, "sinks"))
+    staged = spark.read.parquet(os.path.join(TMP, "sinks", "r_kafka"))
+    assert [f.name for f in staged.schema.fields] == ["key", "value", "topic"]
+    assert staged.count() == counts["r_kafka"] > 0
+
+
+@pytest.mark.parametrize("committer_cls", [RenameCommitter, CopyCommitter])
+def test_committer_seam_identical_sinks(spark, parsed, committer_cls):
+    """route_stage produces byte-identical committed sinks through either
+    Committer implementation (the Iceberg-swap seam)."""
+    root = os.path.join(TMP, f"seam_{committer_cls.__name__}")
+    shutil.rmtree(root, ignore_errors=True)
+    routes = [{"route_id": "r_txn", "sink": "r_txn",
+               "template_pattern": "^(BEGIN|COMMIT|ROLLBACK)", "condition": ""}]
+    counts = route_stage(parsed, routes, root, committer=committer_cls())
+    assert counts["r_txn"] > 0
+    got = (spark.read.parquet(os.path.join(root, "r_txn"))
+           .groupBy().agg(F.count(F.lit(1)).alias("n"),
+                          F.sum(F.hash("conv_id", "turn_idx", "text")).alias("h"))
+           .first())
+    # store digest on the function for cross-param comparison
+    key = "digest"
+    store = test_committer_seam_identical_sinks.__dict__.setdefault("store", {})
+    store[committer_cls.__name__] = (got["n"], got["h"])
+    if len(store) == 2:
+        assert store["RenameCommitter"] == store["CopyCommitter"]
+    # no leftover staging state
+    assert not glob.glob(os.path.join(root, "*.__tmp__"))
+    assert not glob.glob(os.path.join(root, "*.__copy__"))

@@ -70,6 +70,67 @@ def test_stream_counts_match_batch(spark, stream_input, templates, fx_dir):
     assert diff.count() == 0
 
 
+def test_stream_dictionary_refresh_mid_stream(spark, fx_dir):
+    """Per-micro-batch dictionary + route-table re-read: an update to
+    dim_tools between batches must be visible to post-update batches without
+    a query restart (reference: SystemTransaction dictionary maintenance)."""
+    import pandas as pd
+
+    from openlogparse_spark.streaming.jobs import stream_routed_sink
+
+    root = os.path.join(TMP, "refresh")
+    shutil.rmtree(root, ignore_errors=True)
+    src, dims, sinks = (os.path.join(root, d) for d in ("in", "dims", "sinks"))
+    os.makedirs(src)
+
+    # live dims dir (fixture dims are read-only inputs — copy then mutate)
+    df_all = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
+    os.makedirs(dims)
+    for name in ("dim_tools", "routes"):
+        pd.read_parquet(os.path.join(fx_dir, f"{name}.parquet")).to_parquet(
+            os.path.join(dims, f"{name}.parquet"))
+
+    stream = (spark.readStream.schema(df_all.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    masked = stream.withColumn(
+        "template", F.expr("array_join(transform(split(text, ' '), t -> "
+                           "CASE WHEN instr(t, '=') > 0 THEN "
+                           "concat(substring_index(t, '=', 1), '=<*>') "
+                           "WHEN translate(t, '0123456789', '') != t THEN '<*>' "
+                           "ELSE t END), ' ')"))
+    q = (masked.writeStream
+         .foreachBatch(stream_routed_sink(dims, sinks))
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .start())
+
+    def feed(tag):
+        # file stream sources list flat files: stage the write, move parts in
+        stage = os.path.join(root, f"stage_{tag}")
+        df_all.limit(2000).coalesce(1).write.mode("overwrite").parquet(stage)
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(stage, f), os.path.join(src, f"{tag}_{i}.parquet"))
+        shutil.rmtree(stage)
+
+    feed("f1")
+    q.processAllAvailable()
+
+    # dictionary update: every tool's category flips to 'UPDATED'
+    dt = pd.read_parquet(os.path.join(dims, "dim_tools.parquet"))
+    dt["category"] = "UPDATED"
+    dt.to_parquet(os.path.join(dims, "dim_tools.parquet"))
+
+    feed("f2")
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.option("basePath", sinks).parquet(sinks)
+    cats = {r["category"] for r in
+            out.filter("tool IS NOT NULL").select("category").distinct().collect()}
+    assert "UPDATED" in cats            # post-update batches saw the new dict
+    assert len(cats) > 1                # pre-update batches kept the old one
+
+
 def test_stream_sessions_close_and_timeout(spark, stream_input):
     stream = stream_source(spark, stream_input)
     sessions = stream_conversation_sessions(stream)

@@ -162,12 +162,20 @@ def merge_candidates(counters: list[Counter], min_support: int = 1) -> list[tupl
     return out
 
 
-def mine_templates(df, text_col: str = "text", min_support: int = 2):
+def mine_templates(df, text_col: str = "text", min_support: int = 2,
+                   max_candidates_per_partition: int = 10_000):
     """Distributed Drain fit over a DataFrame; returns [(id, template, support)].
 
     Stage shape: mapInPandas (Arrow) → tiny candidate rows → driver merge.
     At 10^12 rows the shuffle-free candidate emission is O(distinct templates
     x partitions), a few MB.
+
+    `max_candidates_per_partition` bounds the driver merge against
+    adversarial text (every row unique ⇒ unbounded candidate set): each
+    partition emits only its top-K candidates by (support desc, template
+    asc). Truncation can only drop templates rare in EVERY partition —
+    which min_support would quarantine at the merge anyway — and keeps the
+    driver-side state ≤ K × partitions rows.
     """
     import pandas as pd
 
@@ -176,7 +184,7 @@ def mine_templates(df, text_col: str = "text", min_support: int = 2):
         for pdf in batches:
             for t in pdf[text_col].dropna():
                 miner.add_text(t)
-        rows = miner.templates()
+        rows = miner.templates()[:max_candidates_per_partition]
         yield pd.DataFrame({"template": [r[0] for r in rows],
                             "support": [r[1] for r in rows]})
 

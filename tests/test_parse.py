@@ -116,3 +116,47 @@ def test_quarantined_rows_are_the_corrupt_ones(parsed):
     """Quarantined rows carry no k=v structure (the planted garbage)."""
     bad = parsed.filter("NOT parse_ok")
     assert bad.filter(F.col("text").contains("=")).count() == 0
+
+
+def test_drain_mining_partition_invariant(spark, fx_dir):
+    """Determinism requirement (SURVEY §7.3): the mined drain template table
+    is identical whatever the input partitioning — 1 partition vs 8 must
+    produce byte-identical (id, template, support) triples."""
+    import os as _os
+
+    from openlogparse_spark.parse import merge_row_pieces
+    from openlogparse_spark.parse.drain import mine_templates
+
+    raw = spark.read.parquet(_os.path.join(fx_dir, "transcripts.parquet"))
+    merged = merge_row_pieces(raw)
+    t1 = mine_templates(merged.repartition(1))
+    t8 = mine_templates(merged.repartition(8))
+    assert t1 == t8
+    assert len(t1) > 10
+
+
+def test_drain_apply_resolves_merged_reps(spark):
+    """Order-independence of the drain apply stage: templates similar enough
+    to merge in the rebuilt tree must still resolve to an id (the live-rep
+    registration path), never silently to parse_ok=false."""
+    from openlogparse_spark.parse import parse_stage
+
+    rows = []
+    for i in range(10):
+        rows.append((1, i * 3 + 0, "assistant", f"SYNC alpha beta tail{i} x=1", None,
+                     "2026-01-01 00:00:00"))
+        rows.append((1, i * 3 + 1, "assistant", f"SYNC alpha gamma tail{i} y=2", None,
+                     "2026-01-01 00:00:01"))
+        rows.append((1, i * 3 + 2, "assistant", "COMMIT txn=t1 rows=5", None,
+                     "2026-01-01 00:00:02"))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id long, turn_idx long, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = parse_stage(df, mode="drain", min_support=2)
+    assert out.filter("NOT parse_ok").count() == 0
+    # and the assignment is stable across partitionings
+    a = {(r["turn_idx"], r["template_id"]) for r in out.collect()}
+    b = {(r["turn_idx"], r["template_id"])
+         for r in parse_stage(df.repartition(7), mode="drain", min_support=2).collect()}
+    assert a == b

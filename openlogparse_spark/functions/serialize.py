@@ -43,25 +43,41 @@ MESSAGE_SCHEMA = T.StructType([
 
 
 def to_message_json(df: DataFrame, include_text: bool = True,
-                    value_col: str = "value") -> DataFrame:
+                    value_col: str = "value",
+                    ts_format: str = "iso",
+                    flat: bool = False) -> DataFrame:
     """Serialize parsed/enriched rows to the reference's message JSON.
 
     Returns the input plus a `value` string column; pair with `kafka_frame`
     or write `.select(value_col)` as a text sink. NULL map entries/fields are
-    omitted by to_json (matching the reference's unknown-value skip)."""
+    omitted by to_json (matching the reference's unknown-value skip).
+
+    Format knobs (the wire-shape-changing subset of the reference's 17,
+    Format.h:29-110):
+      include_text  column visibility in the message (columnFormat analogue)
+      ts_format     'iso' (default) | 'epoch_ms' — timestampFormat ISO8601
+                    vs UNIX milliseconds (Format.h timestampFormat)
+      flat          False: payload-nested array shape (message format FULL);
+                    True: one flat object per turn, op fields inlined
+                    (the per-op short-message analogue)
+    """
     payload_fields = [
         F.col("op").alias("op"),
         F.col("template_id").alias("template_id"),
         F.col("params").alias("params"),
+        (F.col("text") if include_text else F.lit(None).cast("string")).alias("text"),
     ]
-    payload_fields.append(
-        (F.col("text") if include_text else F.lit(None).cast("string")).alias("text"))
-    msg = F.struct(
-        F.col("ts").cast("timestamp_ntz").alias("tm"),
+    tm = (F.col("ts").cast("timestamp").cast("long") * 1000
+          if ts_format == "epoch_ms" else F.col("ts").cast("timestamp_ntz"))
+    head = [
+        tm.alias("tm"),
         F.col("conv_id").cast("string").alias("xid"),
         F.col("turn_idx").cast("long").alias("idx"),
-        F.array(F.struct(*payload_fields)).alias("payload"),
-    )
+    ]
+    if flat:
+        msg = F.struct(*head, *payload_fields)
+    else:
+        msg = F.struct(*head, F.array(F.struct(*payload_fields)).alias("payload"))
     return df.withColumn(value_col, F.to_json(msg))
 
 

@@ -169,6 +169,81 @@ def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
             .filter(F.col("score") >= threshold))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int | None = None, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42, normalized: bool = False) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus to
+    K centroid lists, probe the n_probe nearest lists per query, exact
+    re-rank inside them — the other standard ANN scale path next to LSH.
+
+    Centroids are a deterministic corpus sample (the K rows with smallest
+    xxhash64(id) — stable across runs/partitionings, no RNG or training
+    state to ship). Assignment and probing are one Arrow-batched mapInPandas
+    each: the centroid matrix broadcasts once and each batch is a single
+    numpy matmul + argpartition — the vectorized-UDF shape the brief calls
+    for where column algebra can't express a K-way argmax economically
+    (a literal K x dim centroid expression would be a codegen bomb).
+
+    Same corpus caveat as lsh_cosine_topk: IVF needs neighbors to share
+    coarse cells; on the near-uniform sandbox embeddings a probe sweep
+    measured ≤0.62 recall at any candidate fraction ≤0.38, so tests pin
+    recall on a clustered corpus (where IVF is sublinear AND accurate)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    n = corpus.count()
+    kc = n_centroids or max(4, int(n ** 0.5))
+    cent_rows = (corpus
+                 .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+                 .withColumn("h", F.xxhash64(F.col("cid"), F.lit(seed)))
+                 .orderBy("h").limit(kc).collect())
+    C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(n_top: int):
+        def fn(batches):
+            M = bc.value
+            for pdf in batches:
+                V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                V = V / np.linalg.norm(V, axis=1, keepdims=True)
+                S = V @ M.T
+                top = np.argpartition(-S, min(n_top, S.shape[1] - 1),
+                                      axis=1)[:, :n_top]
+                out = pd.DataFrame({
+                    "id": pdf["id"].repeat(n_top).values,
+                    "cell": top.ravel().astype("int32"),
+                })
+                yield out
+        return fn
+
+    slim = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    corpus_cells = slim.mapInPandas(assign(1), schema="id long, cell int")
+    qslim = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    probes = qslim.mapInPandas(assign(n_probe), schema="id long, cell int")
+
+    cand = (corpus_cells.join(slim, "id")
+            .join(F.broadcast(probes.select(F.col("id").alias("query_id"), "cell")),
+                  "cell")
+            .filter(F.col("id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "id"])
+            .join(F.broadcast(qslim.select(F.col("id").alias("query_id"),
+                                           F.col("vec").alias("qvec"))),
+                  "query_id"))
+    dot = _dot(F.col("qvec"), F.col("vec"))
+    score = dot if normalized else dot / (_norm(F.col("qvec")) * _norm(F.col("vec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("id").alias("neighbor_id"),
+                    F.round(score, 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     n_planes: int = 4, n_tables: int = 32, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -34,7 +34,7 @@ import pandas as pd
 
 MANIFEST_COLS = [
     "run_id", "stage", "sink", "partition_id", "rows", "bytes",
-    "status", "started", "finished", "snapshot_id",
+    "status", "started", "finished", "snapshot_id", "watermark",
 ]
 
 
@@ -62,7 +62,12 @@ class Manifest:
         partition_id: int = -1,
         started: float | None = None,
         snapshot_id: str | None = None,
+        watermark=None,
     ) -> str:
+        """`watermark` = the sink's event-time high-water mark (max event ts
+        committed) — the reference's confirmedScn progression analogue
+        (Writer::confirmMessage, Writer.cpp:106-165): resume/monitoring can
+        read how far in event time every sink has advanced."""
         snapshot_id = snapshot_id or uuid.uuid4().hex[:16]
         now = time.time()
         rec = pd.DataFrame(
@@ -78,11 +83,13 @@ class Manifest:
                     "started": pd.Timestamp(started or now, unit="s").floor("us"),
                     "finished": pd.Timestamp(now, unit="s").floor("us"),
                     "snapshot_id": snapshot_id,
+                    "watermark": (pd.Timestamp(watermark).floor("us")
+                                  if watermark is not None else pd.NaT),
                 }
             ],
             columns=MANIFEST_COLS,
         )
-        for c in ("started", "finished"):
+        for c in ("started", "finished", "watermark"):
             rec[c] = rec[c].astype("datetime64[us]")
         fname = os.path.join(self.path, f"m-{time.time_ns()}-{uuid.uuid4().hex[:8]}.parquet")
         rec.to_parquet(fname, index=False)

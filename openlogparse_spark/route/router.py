@@ -233,25 +233,42 @@ def _route_special_format(enriched: DataFrame, r: dict, sinks_root: str,
     return rows
 
 
-def _footer_counts(staging: str) -> dict[str, int]:
-    """{route_id: rows} from parquet footers under staging/route_id=*/ —
-    driver-side metadata reads (~0.3 ms/file), threaded."""
+def _footer_counts(staging: str, ts_col: str = "ts"
+                   ) -> tuple[dict[str, int], dict[str, object]]:
+    """({route_id: rows}, {route_id: max event ts}) from parquet footers
+    under staging/route_id=*/ — driver-side metadata reads (~0.3 ms/file),
+    threaded. The max-ts comes from row-group column statistics, so the
+    per-sink event-time watermark (reference confirmedScn progression) costs
+    zero data reads."""
     import pyarrow.parquet as pq
 
     files = glob.glob(os.path.join(staging, "route_id=*", "**", "*.parquet"),
                       recursive=True)
 
-    def one(f: str) -> tuple[str, int]:
+    def one(f: str):
         rid = next(p.split("=", 1)[1] for p in f.split(os.sep)
                    if p.startswith("route_id="))
-        return rid, pq.ParquetFile(f).metadata.num_rows
+        md = pq.ParquetFile(f).metadata
+        wm = None
+        try:
+            ci = md.schema.names.index(ts_col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    wm = st.max if wm is None else max(wm, st.max)
+        except ValueError:
+            pass   # no ts column in this sink schema
+        return rid, md.num_rows, wm
 
     counts: dict[str, int] = {}
+    marks: dict[str, object] = {}
     if files:
         with ThreadPoolExecutor(max_workers=16) as pool:
-            for rid, n in pool.map(one, files):
+            for rid, n, wm in pool.map(one, files):
                 counts[rid] = counts.get(rid, 0) + n
-    return counts
+                if wm is not None:
+                    marks[rid] = wm if rid not in marks else max(marks[rid], wm)
+    return counts, marks
 
 
 def _route_unified(
@@ -327,7 +344,7 @@ def _route_unified(
     # per-sink row counts straight from parquet footers on the driver —
     # metadata-only, threaded; replaces a full Spark job over the staging
     # dir (which re-lists and re-plans thousands of files)
-    staged_counts = _footer_counts(staging)
+    staged_counts, staged_marks = _footer_counts(staging)
     t_count = time.time()
 
     # per-sink commits + manifest records are independent → run them off the
@@ -344,7 +361,8 @@ def _route_unified(
         rows = int(staged_counts.get(r["route_id"], 0))
         if manifest:
             manifest.record(run_id, "route", sink_path, rows,
-                            _dir_bytes(sink_path), started=t0)
+                            _dir_bytes(sink_path), started=t0,
+                            watermark=staged_marks.get(r["route_id"]))
         return r["route_id"], rows
 
     with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:

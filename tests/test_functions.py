@@ -115,6 +115,29 @@ def test_lsh_recall_at_driver_parameters(spark):
     assert recall >= 0.9, f"LSH recall {recall} < 0.9"
 
 
+def test_ivf_recall_and_sublinearity_on_clustered_corpus(spark):
+    """IVF on a clusterable corpus: >=0.9 recall vs brute force while probing
+    a strict minority of the corpus (the sublinearity that justifies it)."""
+    import numpy as np
+
+    from openlogparse_spark.functions.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(16, 64))
+    vecs = np.repeat(centers, 25, axis=0) + 0.05 * rng.normal(size=(400, 64))
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 10")
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, q, k=5, normalized=True).collect()}
+    ivf = ivf_topk(emb, q, k=5, n_centroids=40, n_probe=6, normalized=True)
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+
 def test_embed_near_pairs_lsh_recall(spark):
     """Embedding-cosine near-dup: LSH-bucketed candidates recover >=0.9 of
     the exact pair set on the driver embeddings at driver threshold."""

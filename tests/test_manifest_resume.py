@@ -162,3 +162,26 @@ def test_tenant_filter_and_suppression(spark, fx_dir):
         routed = spark.read.parquet(os.path.join(root, "sinks", s))
         convs += [r["conv_id"] for r in routed.select("conv_id").distinct().collect()]
     assert convs and all(c < "conv00000050" for c in convs)
+
+
+def test_manifest_records_sink_watermarks(spark, fx_dir):
+    """A4 watermark progression: each routed sink's manifest row carries its
+    event-time high-water mark (max committed ts), equal to the actual
+    max(ts) in the committed sink — read from footers, zero data scans."""
+    import pandas as pd
+
+    root = "data/tmp/test_wm"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = PipelineConfig(
+        input_path=os.path.join(fx_dir, "transcripts.parquet"),
+        dims_dir=fx_dir, output_root=root, salt_buckets=4, run_id="wm",
+        materialize_enriched=False, stages=("parse", "enrich", "route"),
+    )
+    run_pipeline(spark, cfg)
+    man = Manifest(os.path.join(root, "manifest")).load()
+    routed = man[(man.stage == "route") & (man["rows"] > 0)
+                 & (~man.sink.str.endswith("quarantine"))]
+    assert routed["watermark"].notna().all()
+    row = routed.iloc[0]
+    actual = spark.read.parquet(row["sink"]).agg({"ts": "max"}).first()[0]
+    assert pd.Timestamp(row["watermark"]) == pd.Timestamp(actual)

@@ -78,6 +78,19 @@ def test_typed_params_decode(spark):
     assert by_idx[3]["rows"] is None  # malformed value -> NULL, never an abort
 
 
+def test_json_format_knobs(parsed):
+    """Wire-shape knobs: epoch_ms timestamps, flat per-turn messages, text
+    visibility — each changes exactly what it claims and nothing else."""
+    line = json.loads(to_message_json(
+        parsed, ts_format="epoch_ms", flat=True, include_text=False
+    ).select("value").first()["value"])
+    assert isinstance(line["tm"], int)            # epoch millis, not ISO
+    assert "payload" not in line and "op" in line  # flat: fields inlined
+    assert "text" not in line                      # hidden column omitted
+    nested = json.loads(to_message_json(parsed).select("value").first()["value"])
+    assert isinstance(nested["tm"], str) and "payload" in nested
+
+
 def test_kafka_frame_contract(parsed):
     frame = kafka_frame(parsed, key_cols=("conv_id",), topic="routed")
     assert [f.name for f in frame.schema.fields] == ["key", "value", "topic"]

@@ -384,6 +384,22 @@ FROM documents
 """
 
 
+def _doc_bpe_tokens(spark, sf_dir):
+    from openlogparse_spark.functions.text import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe"))
+
+
+_DOC_BPE_SQL = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+|\s+'))
+    AS n_bpe
+FROM documents
+"""
+
+
 def _doc_quality(spark, sf_dir):
     from openlogparse_spark.functions.text import punct_ratio, stopword_ratio
 
@@ -816,6 +832,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cdc_changes": (_cdc_changes, _CDC_SQL),
     # documents: training-data text ops
     "doc_tokens": (_doc_tokens, _DOC_TOKENS_SQL),
+    "doc_bpe_tokens": (_doc_bpe_tokens, _DOC_BPE_SQL),
     "doc_quality": (_doc_quality, _DOC_QUALITY_SQL),
     "doc_lang": (_doc_lang, _DOC_LANG_SQL),
     "doc_fingerprint": (_doc_fingerprint, _DOC_FP_SQL),

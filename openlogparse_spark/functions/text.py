@@ -25,6 +25,19 @@ def token_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pretokenizer regex, lookahead-free so Java regex (Spark) and
+# RE2 (DuckDB oracle) agree: contractions | space?+letters | space?+digits |
+# space?+other-runs | whitespace runs. Counting its matches approximates BPE
+# token count well enough for length filtering/cost estimates without a
+# vocab in the container.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pretokenizer pattern."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_RE))
+
+
 def stopword_ratio(text: Column) -> Column:
     """Fraction of whitespace tokens that are stopwords."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")

@@ -136,3 +136,30 @@ def test_routed_files_are_conv_ordered(spark):
         pdf = pd.read_parquet(f, columns=["conv_id", "turn_idx"])
         key = list(zip(pdf["conv_id"], pdf["turn_idx"]))
         assert key == sorted(key), f
+
+
+def test_route_reuse_mode_adds_no_exchange(spark, enriched, fx_dir):
+    """Partitioning reuse is real: the fan-out write plan on top of the
+    cached enriched view contains NO Exchange (the salted mode contains
+    exactly one) — the 'reuse a partitioning across stages' invariant."""
+    from openlogparse_spark.route.router import add_salt, compile_route_filter
+
+    routes = spark.read.parquet(
+        os.path.join(fx_dir, "routes.parquet")).toPandas().to_dict("records")
+    tags = F.array(*[
+        F.when(compile_route_filter(r["template_pattern"], r["condition"]),
+               F.lit(r["route_id"])) for r in routes])
+    matched = enriched.withColumn(
+        "route_id", F.explode(F.filter(tags, lambda x: x.isNotNull())))
+    reuse = matched.sortWithinPartitions(
+        "route_id", "template_id", "conv_id", "turn_idx")
+    def above_cache(df):
+        # only the plan ABOVE the cache matters (the cached lineage below
+        # InMemoryRelation legitimately contains the one merge shuffle)
+        full = df._jdf.queryExecution().executedPlan().toString()
+        return full.split("InMemoryRelation", 1)[0]
+
+    assert "Exchange" not in above_cache(reuse), above_cache(reuse)
+    shuffled = (add_salt(matched, 8).repartition("route_id", "salt")
+                .sortWithinPartitions("conv_id", "turn_idx"))
+    assert above_cache(shuffled).count("Exchange") == 1

@@ -39,6 +39,12 @@ def main(argv=None) -> int:
     ap.add_argument("--salt-buckets", type=int, default=64)
     ap.add_argument("--cpus", default=None, help="local[N]; omit under spark-submit")
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--input-filter", default=None,
+                    help="scan-side SQL predicate (tenant/PDB filter analogue)")
+    ap.add_argument("--suppress", default=None,
+                    help="flush-side SQL predicate withheld from all real routes")
+    ap.add_argument("--one-shot", action="store_true",
+                    help="keep enriched as a cached plan (no staging table)")
     args = ap.parse_args(argv)
 
     cfgd = {}
@@ -57,6 +63,9 @@ def main(argv=None) -> int:
         output_root=cfgd.get("output", args.output),
         parse_mode=cfgd.get("parse_mode", args.parse_mode),
         salt_buckets=int(cfgd.get("salt_buckets", args.salt_buckets)),
+        input_filter=cfgd.get("input_filter", args.input_filter),
+        suppress_condition=cfgd.get("suppress", args.suppress),
+        materialize_enriched=not cfgd.get("one_shot", args.one_shot),
     )
     if args.run_id:
         kw["run_id"] = args.run_id

@@ -1,1 +1,1 @@
-from openlogparse_spark.route.router import route_stage, add_salt, compile_route_filter  # noqa: F401
+from openlogparse_spark.route.router import route_stage, add_salt, compile_route_filter, merge_sinks  # noqa: F401

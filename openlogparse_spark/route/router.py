@@ -233,6 +233,25 @@ def _route_special_format(enriched: DataFrame, r: dict, sinks_root: str,
     return rows
 
 
+def merge_sinks(spark, sink_paths: list[str], out_path: str,
+                order_cols: tuple[str, ...] = ("ts", "conv_id", "turn_idx"),
+                committer=None) -> int:
+    """RAC merge fan-in (reference: RacMergeWriterFile merges per-instance
+    writer outputs into one globally ordered stream by scn,
+    /root/reference/src/writer/RacMergeWriterFile.cpp): union N independently
+    committed sinks and emit ONE output in global (ts, conv_id, turn_idx)
+    order — a range-partitioned sort, so every output file holds a
+    contiguous, internally sorted key range (total order across files by
+    file order). Returns rows merged."""
+    dfs = [spark.read.parquet(p) for p in sink_paths]
+    merged = dfs[0]
+    for d in dfs[1:]:
+        merged = merged.unionByName(d, allowMissingColumns=True)
+    ordered = merged.orderBy(*order_cols)
+    atomic_overwrite(ordered, out_path, committer=committer)
+    return safe_count(spark, out_path)
+
+
 def _footer_counts(staging: str, ts_col: str = "ts"
                    ) -> tuple[dict[str, int], dict[str, object]]:
     """({route_id: rows}, {route_id: max event ts}) from parquet footers

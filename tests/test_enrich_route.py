@@ -163,3 +163,34 @@ def test_route_reuse_mode_adds_no_exchange(spark, enriched, fx_dir):
     shuffled = (add_salt(matched, 8).repartition("route_id", "salt")
                 .sortWithinPartitions("conv_id", "turn_idx"))
     assert above_cache(shuffled).count("Exchange") == 1
+
+
+def test_rac_merge_fan_in(spark, enriched, fx_dir):
+    """K5 merge fan-in: two independently committed 'instance' sinks merge
+    into ONE globally (ts, conv_id, turn_idx)-ordered output, rows conserved."""
+    import glob as _glob
+
+    import pandas as pd
+
+    from openlogparse_spark.route import merge_sinks
+
+    root = os.path.join(TMP, "rac")
+    shutil.rmtree(root, ignore_errors=True)
+    ok = enriched.filter("parse_ok")
+    inst1 = ok.filter("pmod(hash(conv_id), 2) = 0")
+    inst2 = ok.filter("pmod(hash(conv_id), 2) = 1")
+    p1, p2 = os.path.join(root, "i1"), os.path.join(root, "i2")
+    inst1.write.parquet(p1)
+    inst2.write.parquet(p2)
+    out = os.path.join(root, "merged")
+    n = merge_sinks(spark, [p1, p2], out)
+    assert n == ok.count()                       # conservation across writers
+    files = sorted(_glob.glob(os.path.join(out, "*.parquet")))
+    last_key = None
+    for f in files:                              # total order across files
+        pdf = pd.read_parquet(f, columns=["ts", "conv_id", "turn_idx"])
+        keys = list(zip(pdf["ts"], pdf["conv_id"], pdf["turn_idx"]))
+        assert keys == sorted(keys), f
+        if keys:
+            assert last_key is None or keys[0] >= last_key
+            last_key = keys[-1]

@@ -1,1 +1,1 @@
-from openlogparse_spark.functions import dedup, similarity, text, multimodal  # noqa: F401
+from openlogparse_spark.functions import cdc, dedup, multimodal, serialize, similarity, text  # noqa: F401

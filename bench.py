@@ -130,7 +130,7 @@ def main() -> None:
     q.stop()
     dt = time.time() - t0
     timings["streaming_e2e"] = round(dt, 3)
-    timings["streaming_turns_per_sec"] = round(n_turns / dt, 1)
+    streaming_tps = round(n_turns / dt, 1)
     total += dt
 
     # 2) representative operator queries on the driver tables
@@ -152,6 +152,7 @@ def main() -> None:
         "sf": sf,
         "turns": n_turns,
         "turns_per_sec": turns_per_sec,
+        "streaming_turns_per_sec": streaming_tps,
         "cpus": int(CPUS),
     }))
 

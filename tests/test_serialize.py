@@ -145,3 +145,10 @@ def test_committer_seam_identical_sinks(spark, parsed, committer_cls):
     # no leftover staging state
     assert not glob.glob(os.path.join(root, "*.__tmp__"))
     assert not glob.glob(os.path.join(root, "*.__copy__"))
+
+
+def test_json_route_empty_match_is_empty_sink(spark, parsed):
+    routes = [{"route_id": "r_json_none", "sink": "r_json_none", "format": "json",
+               "template_pattern": "^NEVERMATCHES ", "condition": ""}]
+    counts = route_stage(parsed, routes, os.path.join(TMP, "sinks_empty"))
+    assert counts["r_json_none"] == 0

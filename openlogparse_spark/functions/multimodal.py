@@ -83,6 +83,42 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Arrow-batched image resize: (media_id, payload, meta) → resized payload
+    + updated meta. The pixel kernel is STUBBED (no PIL in this container):
+    the fake output is a deterministic `width*height*3`-byte buffer seeded by
+    the source sha1 — correct output SIZE and stable content, so partition
+    sizing, Arrow batch shapes, and meta rewriting are all real. A deployment
+    replaces `_stub_resize` with `PIL.Image.open(...).resize(...)`."""
+
+    def _stub_resize(payload: bytes, w: int, h: int) -> bytes:
+        seed = hashlib.sha1(payload).digest()
+        need = w * h * 3
+        return (seed * (need // len(seed) + 1))[:need]
+
+    out_schema = (
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytearray(_stub_resize(bytes(p), width, height))
+                for p in pdf["payload"]
+            ]
+            meta = [
+                {**m, "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "kind": pdf["kind"],
+                "payload": resized, "meta": meta,
+            })
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms).
 

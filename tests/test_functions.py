@@ -208,3 +208,18 @@ def test_multimodal_plumbing(spark):
     vids = media_pq.filter("kind = 'video'").select("media_id", "meta.duration_ms").collect()
     expect = sum(max((v["duration_ms"] - 1) // 500 + 1, 1) for v in vids)
     assert plan.count() == expect
+
+
+def test_multimodal_resize_plumbing(spark):
+    from openlogparse_spark.functions.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=12)
+    out = resize_images(media, width=16, height=8).collect()
+    assert len(out) == sum(1 for r in media.collect() if r["kind"] == "image")
+    for r in out:
+        assert len(bytes(r["payload"])) == 16 * 8 * 3   # resized buffer shape
+        assert (r["meta"]["width"], r["meta"]["height"]) == (16, 8)
+        assert r["meta"]["mime"] == "image/x-fake"       # meta carried through
+    # deterministic: same input -> same bytes
+    again = resize_images(media, width=16, height=8).collect()
+    assert {bytes(r["payload"]) for r in out} == {bytes(r["payload"]) for r in again}

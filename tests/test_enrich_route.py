@@ -194,3 +194,36 @@ def test_rac_merge_fan_in(spark, enriched, fx_dir):
         if keys:
             assert last_key is None or keys[0] >= last_key
             last_key = keys[-1]
+
+
+def test_hot_conversation_spreads_in_reshuffle_mode(spark):
+    """Skew evidence: ONE viral conversation (400k turns) routed in salted
+    reshuffle mode spreads across many output files with no file holding more
+    than ~3x the mean — the straggler-defusing property the salt exists for."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    n = 400_000
+    viral = spark.range(n).select(
+        F.lit("viral").alias("conv_id"),
+        F.col("id").cast("long").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.lit("COMMIT txn=<*> rows=<*>").alias("template"),
+        F.lit("tpl1").alias("template_id"),
+        F.concat(F.lit("COMMIT txn=t rows="), F.col("id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    root = os.path.join(TMP, "skew")
+    shutil.rmtree(root, ignore_errors=True)
+    routes = [{"route_id": "r_all", "sink": "r_all",
+               "template_pattern": "^COMMIT", "condition": ""}]
+    counts = route_stage(viral, routes, root, reshuffle=True,
+                         salt_buckets=16, shuffle_partitions=16)
+    assert counts["r_all"] == n
+    files = _glob.glob(os.path.join(root, "r_all", "**", "*.parquet"),
+                       recursive=True)
+    sizes = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    assert len(sizes) >= 8                      # spread over many tasks
+    assert max(sizes) <= 3 * (sum(sizes) / len(sizes))

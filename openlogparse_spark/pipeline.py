@@ -95,6 +95,11 @@ class PipelineConfig:
     # predicate are withheld from every REAL route at emit time (quarantine
     # conservation is untouched — suppression is a flush-side policy).
     suppress_condition: str | None = None
+    # bucketed-table input (jobs/bucketize.py): a table bucketBy(conv_id)
+    # sortBy(conv_id, turn_idx) scans as HashPartitioning(conv_id), so the
+    # merge window needs NO exchange — the whole pipeline then runs with
+    # zero full-data shuffles. Overrides input_path when set.
+    input_table: str | None = None
 
 
 @dataclass
@@ -113,7 +118,8 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
     def stage_done(stage: str, sink: str) -> bool:
         return sink in man.done(stage)
 
-    transcripts = spark.read.parquet(cfg.input_path)
+    transcripts = (spark.table(cfg.input_table) if cfg.input_table
+                   else spark.read.parquet(cfg.input_path))
     validate_input_schema(transcripts)   # header gate: fail fast on drift
     if cfg.input_filter:
         transcripts = transcripts.filter(F.expr(cfg.input_filter))

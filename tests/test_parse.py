@@ -160,3 +160,32 @@ def test_drain_apply_resolves_merged_reps(spark):
     b = {(r["turn_idx"], r["template_id"])
          for r in parse_stage(df.repartition(7), mode="drain", min_support=2).collect()}
     assert a == b
+
+
+def test_bucketed_input_elides_merge_exchange(spark, fx_dir):
+    """Bucketed-table input (jobs/bucketize.py): the merge window's required
+    distribution is satisfied by the scan itself — NO Exchange in the plan —
+    and the merged output is byte-identical to the parquet-path plan."""
+    import os as _os
+
+    from openlogparse_spark.jobs.bucketize import bucketize
+    from openlogparse_spark.parse import merge_row_pieces
+
+    src = _os.path.join(fx_dir, "transcripts.parquet")
+    bucketize(spark, src, "t_bkt_test", buckets=8)
+    try:
+        bucketed = spark.table("t_bkt_test")
+        plan = merge_row_pieces(bucketed)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        plain_plan = merge_row_pieces(spark.read.parquet(src)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(conv_id" in plain_plan
+        # identical results either way
+        a = merge_row_pieces(bucketed).selectExpr(
+            "sum(hash(conv_id, turn_idx, text)) AS h", "count(*) AS n").first()
+        b = merge_row_pieces(spark.read.parquet(src)).selectExpr(
+            "sum(hash(conv_id, turn_idx, text)) AS h", "count(*) AS n").first()
+        assert (a["h"], a["n"]) == (b["h"], b["n"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_test")

@@ -462,6 +462,41 @@ FROM documents
 """
 
 
+def _doc_winnow(spark, sf_dir):
+    """Rolling-hash winnowing fingerprint (MOSS): per-doc selected-gram-hash
+    count + extremes (the set itself is asserted by pytest; scalars here keep
+    the oracle compare simple)."""
+    from openlogparse_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.col("fp_set")
+    return winnow_fingerprints(docs).select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.element_at(fp, 1).alias("fp_min"),
+        F.element_at(fp, -1).alias("fp_max"),
+    )
+
+
+_DOC_WINNOW_SQL = """
+WITH g AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    [md5(substr(norm, i, 8)) FOR i IN generate_series(1, greatest(length(norm) - 7, 1))] AS hs
+  FROM g
+), m AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      [list_min(hs[i:i+3]) FOR i IN generate_series(1, greatest(len(hs) - 3, 1))]
+    )) AS fp
+  FROM h
+)
+SELECT doc_id, len(fp) AS n_fp, fp[1] AS fp_min, fp[-1] AS fp_max FROM m
+"""
+
+
 def _dedup_exact(spark, sf_dir):
     from openlogparse_spark.functions.dedup import exact_dedup
 
@@ -836,6 +871,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_quality": (_doc_quality, _DOC_QUALITY_SQL),
     "doc_lang": (_doc_lang, _DOC_LANG_SQL),
     "doc_fingerprint": (_doc_fingerprint, _DOC_FP_SQL),
+    "doc_winnow": (_doc_winnow, _DOC_WINNOW_SQL),
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_SQL),
     "jaccard_pairs": (_jaccard_pairs, _JACCARD_SQL),
     "minhash_lsh_pairs": (_minhash_lsh, None),     # xxhash64 family: no SQL twin

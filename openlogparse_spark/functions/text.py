@@ -75,6 +75,42 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        k: int = 8, w: int = 4,
+                        out_col: str = "fp_set") -> DataFrame:
+    """Rolling-hash winnowing fingerprint (Schleimer et al., MOSS 2003):
+    hash every k-char gram of the normalized text, slide a w-gram window,
+    keep each window's minimum, dedupe. Robust to local edits (only windows
+    near the edit change), unlike the whole-document md5 above.
+
+    Pure column algebra; gram "hashes" are md5 strings so the lexicographic
+    window-min is engine-independent (identical in the DuckDB oracle).
+    Adds `out_col` array<string> of selected gram hashes, sorted.
+
+    DF-level (not a Column helper) ON PURPOSE: each stage must be bound as a
+    real column before the next lambda references it — an expression
+    referenced inside `transform` is INLINED and re-evaluated per element
+    (no common-subexpression elimination through lambdas), which turns the
+    normalize+hash prework into an O(n_grams x doc_len) blowup (measured
+    ~60x wall on the 500-doc fixture)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    tmp_n, tmp_h = f"__{out_col}_norm", f"__{out_col}_hs"
+    step1 = df.withColumn(tmp_n, norm)
+    n_grams = F.greatest(F.length(tmp_n) - k + 1, F.lit(1))
+    step2 = step1.withColumn(
+        tmp_h,
+        F.transform(F.sequence(F.lit(1), n_grams),
+                    lambda i: F.md5(F.col(tmp_n).substr(i, F.lit(k)))),
+    )
+    n_wins = F.greatest(F.size(tmp_h) - w + 1, F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda i: F.array_min(F.slice(F.col(tmp_h), i, w)),
+    )
+    return (step2.withColumn(out_col, F.array_sort(F.array_distinct(mins)))
+            .drop(tmp_n, tmp_h))
+
+
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """All text features in one projection (single scan, codegen'd)."""
     t = F.col(text_col)

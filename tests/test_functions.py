@@ -223,3 +223,19 @@ def test_multimodal_resize_plumbing(spark):
     # deterministic: same input -> same bytes
     again = resize_images(media, width=16, height=8).collect()
     assert {bytes(r["payload"]) for r in out} == {bytes(r["payload"]) for r in again}
+
+
+def test_winnow_fingerprint_is_edit_local(spark):
+    """Winnowing property: a single local edit changes only a few selected
+    fingerprints (unlike whole-doc md5, which changes completely)."""
+    from openlogparse_spark.functions.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base.replace("lazy dog", "lazy cat", 1)   # ONE local edit
+    df = spark.createDataFrame([(0, base), (1, edited)], "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fp_set"])
+           for r in winnow_fingerprints(df).collect()}
+    inter = len(fps[0] & fps[1])
+    union = len(fps[0] | fps[1])
+    assert inter / union >= 0.5          # most fingerprints survive the edit
+    assert fps[0] != fps[1]              # but the edit is detectable

@@ -51,18 +51,30 @@ def _widen(df: DataFrame) -> DataFrame:
     return df
 
 
+def _shingle_sets(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh_arr): distinct word n-gram shingles per document as an array.
+
+    Two bound stages on purpose: `toks` must be a REAL column before the gram
+    lambda slices it — a captured expression is inlined and re-evaluated per
+    gram position (the split+regex would run ~n_tokens times per doc; no CSE
+    through transform lambdas)."""
+    with_toks = df.select(
+        F.col(id_col).alias("id"), F.split(_norm(text_col), " ").alias("__toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, n), " "),
+    )
+    return with_toks.select(
+        "id",
+        F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0).alias("sh_arr"),
+    )
+
+
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = F.split(_norm(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-    )
+    return _shingle_sets(df, n, text_col, id_col).select(
+        "id", F.explode("sh_arr").alias("shingle"))
 
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
@@ -85,15 +97,7 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     approximation of the uncapped value, biased only for pairs whose overlap
     hides in ubiquitous shingles). Default None = exact; corpora at MinHash
     scale should use minhash_lsh_pairs instead."""
-    toks = F.split(_norm(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    sets = _widen(df).select(
-        F.col(id_col).alias("id"),
-        F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0).alias("sh_arr"),
-    )
+    sets = _shingle_sets(_widen(df), n, text_col, id_col)
     sh = sets.select("id", F.size("sh_arr").alias("sz"),
                      F.explode("sh_arr").alias("shingle"))
     if max_shingle_df is not None:

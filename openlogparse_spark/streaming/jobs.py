@@ -129,7 +129,8 @@ def _session_fn(key, pdfs, state: GroupState):
             "conv_id", "n_turns", "n_tool_turns", "first_ts", "last_ts", "closed_by"])
 
 
-def stream_routed_sink(dims_dir: str, sinks_root: str):
+def stream_routed_sink(dims_dir: str, sinks_root: str,
+                       manifest=None, run_id: str = "stream"):
     """Streaming enrich+route with per-micro-batch dictionary refresh and
     control-table re-read.
 
@@ -167,9 +168,20 @@ def stream_routed_sink(dims_dir: str, sinks_root: str):
             "route_id", F.explode(F.filter(tags, lambda x: x.isNotNull())))
         # batch-scoped subdir => re-processing a batch after a crash simply
         # overwrites the same dir (idempotent, the file-sink commit analogue)
+        batch_dir = os.path.join(sinks_root, f"batch={batch_id}")
         (routed.write.mode("overwrite")
          .partitionBy("route_id")
-         .parquet(os.path.join(sinks_root, f"batch={batch_id}")))
+         .parquet(batch_dir))
+        if manifest is not None:
+            # same lineage trail as the batch router: rows + event-time
+            # watermark per committed micro-batch (confirmedScn progression)
+            from openlogparse_spark.route.router import safe_count
+
+            n = safe_count(spark, batch_dir)
+            wm = (batch_df.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+                  if "ts" in batch_df.columns else None)
+            manifest.record(run_id, "stream_route", batch_dir, n, 0,
+                            watermark=wm)
 
     return process_batch
 

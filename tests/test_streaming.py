@@ -98,8 +98,11 @@ def test_stream_dictionary_refresh_mid_stream(spark, fx_dir):
                            "concat(substring_index(t, '=', 1), '=<*>') "
                            "WHEN translate(t, '0123456789', '') != t THEN '<*>' "
                            "ELSE t END), ' ')"))
+    from openlogparse_spark.manifest import Manifest
+
+    man = Manifest(os.path.join(root, "manifest"))
     q = (masked.writeStream
-         .foreachBatch(stream_routed_sink(dims, sinks))
+         .foreachBatch(stream_routed_sink(dims, sinks, manifest=man))
          .option("checkpointLocation", os.path.join(root, "ck"))
          .start())
 
@@ -129,6 +132,12 @@ def test_stream_dictionary_refresh_mid_stream(spark, fx_dir):
             out.filter("tool IS NOT NULL").select("category").distinct().collect()}
     assert "UPDATED" in cats            # post-update batches saw the new dict
     assert len(cats) > 1                # pre-update batches kept the old one
+    # streaming commits carry the same lineage trail as batch routing
+    mrows = man.load()
+    srows = mrows[mrows.stage == "stream_route"]
+    assert len(srows) >= 2                      # one record per micro-batch
+    assert (srows["rows"] > 0).all()
+    assert srows["watermark"].notna().all()     # event-time progression
 
 
 def test_stream_sessions_close_and_timeout(spark, stream_input):

@@ -3,10 +3,13 @@
 Every operator family from SURVEY.md §2 has a `queries()` entry; each
 SQL-expressible one has a matching `oracle_sql()` DuckDB twin (same column
 aliases; order-insensitive compare). Non-SQL-expressible ops (MinHash/SimHash
-via xxhash64, hyperplane LSH, transaction stack replay) ship without an
-oracle → driver records the weaker rows-only check; their correctness is
-pinned by pytest oracles instead (pure-python / DuckDB reimplementations in
-tests/).
+via xxhash64, hyperplane LSH, transaction stack replay) ship without a DuckDB
+oracle → the driver records the weaker rows-only check; their correctness is
+pinned by pytest oracles instead: a from-spec pure-python XXH64 asserts the
+hash VALUES bit-exact (tests/test_hash_oracle.py), blocking losslessness and
+recall are brute-force-checked at driver parameters (tests/test_functions.py),
+and the stack replay has a pure-python model + hypothesis conservation
+properties (tests/test_aggregate.py, tests/test_properties.py).
 
 Float policy for oracle equality: exact-decimal sums (CAST to DECIMAL before
 SUM), double division only on identical operands, ROUND(…, k) at the end —

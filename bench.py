@@ -104,7 +104,11 @@ def main() -> None:
 
     t0 = time.time()
     batch = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
-    templates = mine_template_table(merge_row_pieces(batch))
+    # pin the mined table as a LITERAL relation: a stream-static join re-runs
+    # its static side's plan every micro-batch, so an un-collected mining
+    # subtree would re-mine the whole corpus per trigger
+    templates = spark.createDataFrame(
+        mine_template_table(merge_row_pieces(batch)).collect())
     ck = os.path.join(REPO, "data", "bench", "stream_ck")
     _shutil.rmtree(ck, ignore_errors=True)
     # file stream sources take a DIRECTORY; expose the (file or dir) fixture

@@ -185,3 +185,63 @@ def test_manifest_records_sink_watermarks(spark, fx_dir):
     row = routed.iloc[0]
     actual = spark.read.parquet(row["sink"]).agg({"ts": "max"}).first()[0]
     assert pd.Timestamp(row["watermark"]) == pd.Timestamp(actual)
+
+
+def test_hard_kill_mid_route_then_resume(spark, fx_dir):
+    """TRUE crash test: SIGKILL a pipeline subprocess while the route write
+    is in flight, then resume in-process — every sink completes and matches
+    a never-killed run byte-for-byte (the north-rule resume invariant under
+    an actual kill, not a simulated partial state)."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    root = "data/tmp/test_kill9"
+    shutil.rmtree(root, ignore_errors=True)
+    child_code = f"""
+import sys; sys.path.insert(0, {os.getcwd()!r})
+from openlogparse_spark.session import get_spark
+from openlogparse_spark.pipeline import PipelineConfig, run_pipeline
+spark = get_spark('victim', master='local[4]', shuffle_partitions=8)
+cfg = PipelineConfig(input_path={os.path.join(fx_dir, 'transcripts.parquet')!r},
+                     dims_dir={fx_dir!r}, output_root={root!r},
+                     salt_buckets=4, run_id='victim')
+print('RUNNING', flush=True)
+run_pipeline(spark, cfg)
+print('DONE', flush=True)
+"""
+    p = subprocess.Popen([sys.executable, "-c", child_code],
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                         text=True)
+    # wait until the run is underway, then kill it mid-flight
+    assert p.stdout.readline().strip() == "RUNNING"
+    deadline = _time.time() + 120
+    killed = False
+    while _time.time() < deadline:
+        staging = os.path.join(root, "sinks", ".__routed_tmp__")
+        enr_tmp = os.path.join(root, "enriched.__tmp__")
+        if os.path.exists(staging) or os.path.exists(enr_tmp):
+            os.kill(p.pid, signal.SIGKILL)   # mid-write, no cleanup
+            killed = True
+            break
+        if p.poll() is not None:
+            break
+        _time.sleep(0.05)
+    p.wait()
+    assert killed, "child finished before a mid-write kill window appeared"
+
+    # resume with the SAME output root: skips whatever committed, redoes the rest
+    cfg = PipelineConfig(
+        input_path=os.path.join(fx_dir, "transcripts.parquet"),
+        dims_dir=fx_dir, output_root=root, salt_buckets=4, run_id="resume",
+    )
+    run_pipeline(spark, cfg)
+
+    clean_root = root + "_clean"
+    shutil.rmtree(clean_root, ignore_errors=True)
+    run_pipeline(spark, PipelineConfig(
+        input_path=os.path.join(fx_dir, "transcripts.parquet"),
+        dims_dir=fx_dir, output_root=clean_root, salt_buckets=4, run_id="clean"))
+    assert _sink_digest(os.path.join(root, "sinks")) == \
+        _sink_digest(os.path.join(clean_root, "sinks"))

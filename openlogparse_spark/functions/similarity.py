@@ -72,14 +72,15 @@ def cosine_topk(
     )
 
 
-def _bucket_expr(vec, table, n_planes: int, seed: int):
+def _bucket_expr(vec, dims, table, n_planes: int, seed: int):
     """n_planes sign-bits for one hash table, folded into a long bucket id.
 
     Hyperplane component r[t,p,d] is a deterministic uniform in [-1,1) derived
     from xxhash64(seed, t, p, d) — reproducible across runs, partitionings,
     and cluster sizes with no RNG state to ship. Pure array algebra: one
-    aggregate over planes, each folding one zip_with dot product."""
-    dims = F.sequence(F.lit(0), F.size(vec) - F.lit(1))
+    aggregate over planes, each folding one zip_with dot product. `dims` must
+    be a BOUND column (expressions captured in lambdas are inlined and
+    re-evaluated per element — see winnow_fingerprints for the same rule)."""
 
     def plane_dot(p):
         plane = F.transform(
@@ -111,17 +112,22 @@ def hyperplane_signatures(
     each table's bucket is a long of n_planes bits. One narrow explode —
     output is n_tables rows per vector, each carrying the vector for the
     downstream exact re-rank."""
-    v = F.col(vec_col)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.sequence(F.lit(0), F.size(vec_col) - F.lit(1)).alias("__dims"),
+    )
     tb = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_tables - 1)),
             lambda t: F.struct(
-                t.alias("tbl"), _bucket_expr(v, t, n_planes, seed).alias("bucket")
+                t.alias("tbl"),
+                _bucket_expr(F.col("vec"), F.col("__dims"), t,
+                             n_planes, seed).alias("bucket"),
             ),
         )
     )
     return (
-        df.select(F.col(id_col).alias("id"), v.alias("vec"), tb.alias("s"))
+        base.select("id", "vec", tb.alias("s"))
         .select("id", "vec", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
     )
 

@@ -34,12 +34,23 @@ OUTCOME_SCHEMA = (
 )
 
 
-def replay_transactions(rows: list[tuple[int, str, dict]]) -> list[dict]:
+def replay_transactions(rows: list[tuple[int, str, dict]],
+                        skip_xids: frozenset[str] | tuple[str, ...] = ()) -> list[dict]:
     """Replay one conversation's ordered (turn_idx, op, params) stream.
 
     Returns transaction records: one per begin..commit/rollback pair, plus
     'partial' for still-open and 'orphan' for DML with no open transaction.
+
+    `skip_xids` drops WHOLE transactions here, inside the replay, because
+    only begin/commit/rollback rows carry txn= — DML ops are attributed to
+    their transaction by the stack, so a row filter upstream would drop the
+    bracketing ops while the skipped txn's DML leaked into the enclosing
+    open transaction or the orphan bucket. A skipped txn still occupies its
+    stack slot (nesting and rollback_last attribution stay correct); it just
+    emits no record at close (reference: the skip-xid list drops the full
+    transaction, OpenLogReplicator.cpp:828-848).
     """
+    skip = frozenset(skip_xids)
     open_stack: list[dict] = []  # each: {xid, ops:[(turn, op, nrows)], begin_turn}
     out: list[dict] = []
     orphan_ops = 0
@@ -78,18 +89,19 @@ def replay_transactions(rows: list[tuple[int, str, dict]]) -> list[dict]:
                 idx = len(open_stack) - 1
             if idx is not None:
                 t = open_stack.pop(idx)
-                out.append(
-                    {
-                        "xid": t["xid"],
-                        "outcome": "commit" if op == "commit" else "rollback",
-                        "n_ops": len(t["ops"]),
-                        "total_rows": sum(o[2] for o in t["ops"]),
-                        "begin_turn": t["begin_turn"],
-                        "end_turn": turn,
-                    }
-                )
+                if t["xid"] not in skip:
+                    out.append(
+                        {
+                            "xid": t["xid"],
+                            "outcome": "commit" if op == "commit" else "rollback",
+                            "n_ops": len(t["ops"]),
+                            "total_rows": sum(o[2] for o in t["ops"]),
+                            "begin_turn": t["begin_turn"],
+                            "end_turn": turn,
+                        }
+                    )
             # commit/rollback with no open txn: counted as no-begin skip
-            elif op == "commit" or op == "rollback":
+            elif xid not in skip:
                 out.append(
                     {
                         "xid": xid,
@@ -102,6 +114,8 @@ def replay_transactions(rows: list[tuple[int, str, dict]]) -> list[dict]:
                 )
 
     for t in open_stack:
+        if t["xid"] in skip:
+            continue
         out.append(
             {
                 "xid": t["xid"],
@@ -151,15 +165,16 @@ def conv_outcomes(parsed, max_turns_per_conv: int | None = None,
         memory however pathological the input) and emits ONE
         outcome='overflow' record carrying the total op count — conserved,
         never silent.
-      - `skip_xids`: the skip-xid list (OpenLogReplicator.cpp:828-848) — ops
-        of the named transactions are dropped JVM-side before the shuffle.
+      - `skip_xids`: the skip-xid list (OpenLogReplicator.cpp:828-848) — the
+        WHOLE transaction (begin + its attributed DML + close) is dropped
+        inside the replay kernel, where stack attribution is known. It cannot
+        be a JVM-side row filter: DML ops don't carry txn=, so filtering on
+        params['txn'] would drop only the bracketing ops and leak the DML
+        into the enclosing txn / orphan bucket.
     """
     from pyspark.sql import functions as F
 
     slim = parsed.filter(F.col("op").isin(*TXN_OPS))
-    if skip_xids:
-        slim = slim.filter(
-            ~F.coalesce(F.col("params")["txn"], F.lit("?")).isin(*skip_xids))
     slim = (
         slim.select(
             "conv_id", "turn_idx", "op",
@@ -170,6 +185,7 @@ def conv_outcomes(parsed, max_turns_per_conv: int | None = None,
         .sortWithinPartitions("conv_id", "turn_idx")
     )
     cap = max_turns_per_conv
+    skip = frozenset(skip_xids)
 
     def run(batches):
         cur_conv = None
@@ -189,7 +205,8 @@ def conv_outcomes(parsed, max_turns_per_conv: int | None = None,
                 }]
             else:
                 recs = replay_transactions(
-                    [(t, o, {"txn": x, "rows": n}) for t, o, x, n in buf])
+                    [(t, o, {"txn": x, "rows": n}) for t, o, x, n in buf],
+                    skip_xids=skip)
             if not recs:
                 return None
             out = pd.DataFrame(recs)

@@ -38,7 +38,11 @@ def before_after(
                     FROM — NULL-safe), in value_cols order; empty for
                     'insert' (no before image to diff) and 'noop'
       after_changed map<col, value-as-string> carrying ONLY changed columns —
-                    the CHANGED-mode wire image (unchanged columns dropped)
+                    the CHANGED-mode wire image (unchanged columns dropped).
+                    A column changed TO NULL is present with a NULL value
+                    (key present + NULL = value→NULL update; key absent =
+                    unchanged — the reference emits changed-to-null columns
+                    explicitly, Builder.cpp:1425-1542)
     """
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     lags = {c: F.lag(c).over(w) for c in value_cols}
@@ -56,15 +60,22 @@ def before_after(
     op = (F.when(rn == 1, F.lit("insert"))
           .when(any_changed, F.lit("update"))
           .otherwise(F.lit("noop")))
-    after_changed = F.map_filter(
-        F.map_from_arrays(
-            F.array(*[F.lit(c) for c in value_cols]),
-            F.array(*[
-                F.when(changed_flags[c], F.col(c).cast("string"))
-                for c in value_cols
-            ]),
-        ),
-        lambda _k, v: v.isNotNull(),
+    # membership is decided by the changed FLAG, not value nullness — a
+    # map_filter on v.isNotNull() would silently drop value→NULL updates
+    changed_entries = F.filter(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("k"),
+                changed_flags[c].alias("ch"),
+                F.col(c).cast("string").alias("v"),
+            )
+            for c in value_cols
+        ]),
+        lambda e: e["ch"],
+    )
+    after_changed = F.map_from_arrays(
+        F.transform(changed_entries, lambda e: e["k"]),
+        F.transform(changed_entries, lambda e: e["v"]),
     )
     return df.select(
         *key_cols, *order_cols,

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from openlogparse_spark.functions.cache import release_on_gc
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: per duplicate group keep min(id).
@@ -119,7 +121,7 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                  F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    out = (
         inter.withColumn(
             "jaccard",
             F.round(F.col("n_inter")
@@ -128,6 +130,9 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # cache lifetime = result lifetime (long-lived drivers would otherwise
+    # leak one cached subtree per invocation); see functions/cache.py
+    return release_on_gc(out, sh)
 
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 64, n: int = 3,
@@ -178,11 +183,12 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
     )
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                           lambda m: m)) / F.lit(float(num_hashes))
-    return (
+    out = (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    return release_on_gc(out, banded)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -250,8 +256,9 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return release_on_gc(out, chunked)

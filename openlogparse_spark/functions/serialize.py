@@ -67,7 +67,11 @@ def to_message_json(df: DataFrame, include_text: bool = True,
         F.col("params").alias("params"),
         (F.col("text") if include_text else F.lit(None).cast("string")).alias("text"),
     ]
-    tm = (F.col("ts").cast("timestamp").cast("long") * 1000
+    # unix_millis keeps sub-second precision (cast-to-long truncates to whole
+    # seconds). Timezone contract: ts is TIMESTAMP_NTZ; the NTZ→timestamp
+    # cast interprets it in the session timezone, which session.py pins to
+    # UTC — so epoch values are UTC-based and run-location independent.
+    tm = (F.unix_millis(F.col("ts").cast("timestamp"))
           if ts_format == "epoch_ms" else F.col("ts").cast("timestamp_ntz"))
     head = [
         tm.alias("tm"),

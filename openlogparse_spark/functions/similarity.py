@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from openlogparse_spark.functions.cache import release_on_gc
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -155,6 +157,7 @@ def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
     method='lsh':  candidates restricted to pairs sharing >=1 of L
     OR-amplified hyperplane buckets, then exact verification — same
     (n_planes, n_tables) sizing rules as lsh_cosine_topk."""
+    sig = None
     if method == "brute":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -171,8 +174,11 @@ def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
                 .dropDuplicates(["id_a", "id_b"]))
     dot = _dot(F.col("va"), F.col("vb"))
     score = dot if normalized else dot / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (cand.select("id_a", "id_b", F.round(score, 4).alias("score"))
-            .filter(F.col("score") >= threshold))
+    out = (cand.select("id_a", "id_b", F.round(score, 4).alias("score"))
+           .filter(F.col("score") >= threshold))
+    if sig is not None:
+        out = release_on_gc(out, sig)   # see functions/cache.py
+    return out
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -216,10 +222,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 V = np.array(pdf["vec"].tolist(), dtype=np.float64)
                 V = V / np.linalg.norm(V, axis=1, keepdims=True)
                 S = V @ M.T
-                top = np.argpartition(-S, min(n_top, S.shape[1] - 1),
-                                      axis=1)[:, :n_top]
+                # clamp: n_probe may exceed the centroid count — the slice
+                # below would then yield fewer columns than repeat(n_top)
+                # rows and crash the batch with mismatched lengths
+                nt = min(n_top, S.shape[1])
+                top = np.argpartition(-S, nt - 1, axis=1)[:, :nt]
                 out = pd.DataFrame({
-                    "id": pdf["id"].repeat(n_top).values,
+                    "id": pdf["id"].repeat(nt).values,
                     "cell": top.ravel().astype("int32"),
                 })
                 yield out

@@ -129,12 +129,20 @@ def test_big_conversation_guard_and_skip_xids(spark):
         F.create_map(F.lit("rows"), F.lit("1"),
                      F.lit("txn"), F.lit("tx_big")).alias("params"),
     )
+    # DML rows carry NO txn= (the real fixture domain): a skipped txn's DML
+    # is attributed by the replay stack, so skip must drop it there — a
+    # params['txn'] row filter would drop evil's begin/commit but leak its
+    # insert into the enclosing 'outer' txn (the round-2 ADVICE bug).
     small = spark.createDataFrame(
         [("ok", 0, "begin", {"txn": "t1"}),
-         ("ok", 1, "insert", {"rows": "2", "txn": "t1"}),
+         ("ok", 1, "insert", {"rows": "2"}),
          ("ok", 2, "commit", {"txn": "t1"}),
-         ("skipme", 0, "begin", {"txn": "evil"}),
-         ("skipme", 1, "commit", {"txn": "evil"})],
+         ("skipme", 0, "begin", {"txn": "outer"}),
+         ("skipme", 1, "begin", {"txn": "evil"}),
+         ("skipme", 2, "insert", {"rows": "99"}),   # belongs to evil
+         ("skipme", 3, "commit", {"txn": "evil"}),
+         ("skipme", 4, "insert", {"rows": "5"}),    # belongs to outer
+         ("skipme", 5, "commit", {"txn": "outer"})],
         "conv_id string, turn_idx int, op string, params map<string,string>")
     parsed = big.unionByName(small)
 
@@ -146,4 +154,9 @@ def test_big_conversation_guard_and_skip_xids(spark):
     assert huge.iloc[0]["n_ops"] == n_big            # conserved, not dropped
     ok = out[out["conv_id"] == "ok"]
     assert len(ok) == 1 and ok.iloc[0]["outcome"] == "commit"
-    assert (out["conv_id"] == "skipme").sum() == 0   # skip-xid list honoured
+    sk = out[out["conv_id"] == "skipme"]
+    # evil vanished WHOLE: no record for it, no orphan, and its DML was NOT
+    # reattributed to the enclosing txn
+    assert list(sk["xid"]) == ["outer"]
+    assert sk.iloc[0]["outcome"] == "commit"
+    assert sk.iloc[0]["n_ops"] == 1 and sk.iloc[0]["total_rows"] == 5

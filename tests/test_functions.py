@@ -153,6 +153,68 @@ def test_embed_near_pairs_lsh_recall(spark):
     assert len(lsh & brute) / len(brute) >= 0.9
 
 
+def test_ivf_nprobe_exceeding_centroids_is_clamped(spark):
+    """n_probe > n_centroids used to crash the mapInPandas batch (argpartition
+    slice yields fewer columns than id.repeat(n_top) rows). Clamped now: the
+    query degrades to probing every cell, i.e. exact search."""
+    from openlogparse_spark.functions.similarity import cosine_topk as brute_topk
+    from openlogparse_spark.functions.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(8)])
+         for i in range(30)],
+        "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 3")
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_topk(emb, q, k=3, n_centroids=4, n_probe=99).collect()}
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_topk(emb, q, k=3).collect()}
+    assert got == exact  # probing all cells == brute force
+
+
+def test_selfjoin_caches_released(spark, docs):
+    """Pair operators persist() their self-join input; the cache must not
+    outlive the returned plan (round-2 ADVICE: long-lived drivers leak one
+    cached subtree per invocation)."""
+    import gc
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    res = jaccard_pairs(docs, n=3, threshold=0.5)
+    res.collect()
+    assert n_cached() == base + 1
+    res.release_cached_inputs()          # eager hook
+    assert n_cached() == base
+    res2 = minhash_lsh_pairs(docs, threshold=0.9)
+    res2.collect()
+    assert n_cached() == base + 1
+    del res2                             # GC path: result dropped => released
+    gc.collect()
+    assert n_cached() == base
+
+
+def test_cdc_changed_to_null_kept_in_wire_image(spark):
+    """A column updated TO NULL must appear in the CHANGED-mode map (key
+    present, NULL value); dropping it makes the transition indistinguishable
+    from an unchanged column (round-2 ADVICE)."""
+    from openlogparse_spark.functions.cdc import before_after
+
+    df = spark.createDataFrame(
+        [("k1", 1, "a", "x"),
+         ("k1", 2, None, "x"),     # a -> NULL: changed; x unchanged
+         ("k1", 3, "b", None)],    # NULL -> b and x -> NULL: both changed
+        "pk string, v int, c1 string, c2 string")
+    rows = {r["v"]: r for r in before_after(
+        df, key_cols=("pk",), order_cols=("v",),
+        value_cols=("c1", "c2")).collect()}
+    assert set(rows[2]["changed_cols"]) == {"c1"}
+    assert dict(rows[2]["after_changed"]) == {"c1": None}   # present, NULL
+    assert set(rows[3]["changed_cols"]) == {"c1", "c2"}
+    assert dict(rows[3]["after_changed"]) == {"c1": "b", "c2": None}
+
+
 def test_jaccard_df_cap_guard(spark, docs):
     """With a cap no fixture shingle exceeds, results are byte-identical to
     the exact path; with an aggressive cap the operator still runs and only

@@ -91,6 +91,26 @@ def test_json_format_knobs(parsed):
     assert isinstance(nested["tm"], str) and "payload" in nested
 
 
+def test_epoch_ms_keeps_subsecond_precision(spark):
+    """epoch_ms must be true UNIX milliseconds — cast-to-long truncates to
+    whole seconds (the round-2 ADVICE finding; fixtures are second-resolution
+    so only a sub-second input catches it). NTZ is interpreted as UTC (the
+    pinned session timezone)."""
+    df = spark.createDataFrame(
+        [("c1", 0, "x", "t", None, "2026-01-02 03:04:05.678")],
+        "conv_id string, turn_idx int, op string, template_id string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")) \
+     .withColumn("params", F.create_map().cast("map<string,string>")) \
+     .withColumn("text", F.lit("t"))
+    line = json.loads(to_message_json(df, ts_format="epoch_ms")
+                      .select("value").first()["value"])
+    import datetime as dt
+    want = int(dt.datetime(2026, 1, 2, 3, 4, 5, 678000,
+                           tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert line["tm"] == want  # .678 survives; value is UTC-based
+
+
 def test_kafka_frame_contract(parsed):
     frame = kafka_frame(parsed, key_cols=("conv_id",), topic="routed")
     assert [f.name for f in frame.schema.fields] == ["key", "value", "topic"]

@@ -81,7 +81,8 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  max_shingle_df: int | None = None) -> DataFrame:
+                  max_shingle_df: int | None = 10_000,
+                  log_dropped: bool = False) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
@@ -97,14 +98,29 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     frequency > cap are dropped from EVERY document's set before sizes are
     taken (jaccard stays a true Jaccard over the capped shingle space — an
     approximation of the uncapped value, biased only for pairs whose overlap
-    hides in ubiquitous shingles). Default None = exact; corpora at MinHash
-    scale should use minhash_lsh_pairs instead."""
+    hides in ubiquitous shingles). SAFE BY DEFAULT: the cap defaults to 10k —
+    a no-op on any corpus where exact pairwise Jaccard is a sane choice, a
+    blowup guard everywhere else; pass None for the exact/uncapped semantics,
+    or use minhash_lsh_pairs at web scale. `log_dropped=True` additionally
+    runs one small count job over the (persisted) document-frequency table to
+    report how many distinct shingles the cap removed — off by default so the
+    operator stays fully lazy."""
+    import logging
+
     sets = _shingle_sets(_widen(df), n, text_col, id_col)
     sh = sets.select("id", F.size("sh_arr").alias("sz"),
                      F.explode("sh_arr").alias("shingle"))
     if max_shingle_df is not None:
-        dfreq = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-                 .filter(F.col("df") <= max_shingle_df))
+        log = logging.getLogger(__name__)
+        log.info("jaccard_pairs: shingle document-frequency cap %d active "
+                 "(shingles above it are dropped from every document's set)",
+                 max_shingle_df)
+        dfreq_all = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        if log_dropped:
+            n_dropped = dfreq_all.filter(F.col("df") > max_shingle_df).count()
+            log.warning("jaccard_pairs: cap %d dropped %d distinct shingles",
+                        max_shingle_df, n_dropped)
+        dfreq = dfreq_all.filter(F.col("df") <= max_shingle_df)
         capped = sh.join(dfreq.select("shingle"), "shingle")
         w_sz = Window.partitionBy("id")
         sh = capped.withColumn("sz", F.count(F.lit(1)).over(w_sz))

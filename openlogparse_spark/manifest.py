@@ -47,9 +47,25 @@ def _dir_bytes(path: str) -> int:
 
 
 class Manifest:
-    def __init__(self, path: str):
+    """`compact_threshold`: when a record() pushes the manifest past this many
+    files, it is folded down to one file keeping the latest record per
+    (stage, sink, status) — the reference's checkpoint GC
+    (Metadata::deleteOldCheckpoints, Metadata.cpp:523+). Without it the
+    one-file-per-record layout grows unbounded across runs and every
+    load()/done() re-reads the full history (slow resumes, inode bloat).
+    None disables auto-compaction (call compact() manually)."""
+
+    def __init__(self, path: str, compact_threshold: int | None = 256):
         self.path = path
+        self.compact_threshold = compact_threshold
         os.makedirs(path, exist_ok=True)
+
+    def _files(self) -> list[str]:
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".parquet")
+        )
 
     def record(
         self,
@@ -93,17 +109,62 @@ class Manifest:
             rec[c] = rec[c].astype("datetime64[us]")
         fname = os.path.join(self.path, f"m-{time.time_ns()}-{uuid.uuid4().hex[:8]}.parquet")
         rec.to_parquet(fname, index=False)
+        if self.compact_threshold is not None:
+            # one listdir per record — record() fires per stage/sink commit
+            # (low rate), and the listdir is microseconds at the threshold
+            if len(os.listdir(self.path)) > self.compact_threshold:
+                self.compact()
         return snapshot_id
 
     def load(self) -> pd.DataFrame:
-        files = sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.endswith(".parquet")
-        )
+        files = self._files()
         if not files:
             return pd.DataFrame(columns=MANIFEST_COLS)
+        # file order is the append order (m-<ns> names sort by write time);
+        # later files override earlier ones wherever "latest per key" matters
         return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+    def compact(self) -> int:
+        """Fold the manifest to ONE file holding the latest record per
+        (stage, sink, status); superseded files are deleted. Returns the
+        number of files removed.
+
+        Keeping latest-per-(…,status) — not just per (stage, sink) —
+        preserves done()/counts_by_sink() results exactly: a hypothetical
+        non-'done' record can never shadow the 'done' row resume depends on.
+        Crash-safe by ordering: the compacted file is written first (its
+        m-<ns> name sorts after every input), old files are deleted after —
+        a crash between the two leaves duplicates that the next compaction
+        sweeps, never lost records. Concurrent record() writers are safe:
+        compaction only deletes the files it read."""
+        files = self._files()
+        if len(files) <= 1:
+            return 0
+        frames = []
+        for f in files:
+            try:
+                frames.append(pd.read_parquet(f))
+            except FileNotFoundError:
+                continue   # another compactor swept it — its records survive
+        df = pd.concat(frames, ignore_index=True)
+        # order by finished time with append order as tie-break (stable sort):
+        # robust even if file names ever stop sorting chronologically
+        df = df.sort_values("finished", kind="stable")
+        latest = df.groupby(["stage", "sink", "status"], dropna=False).tail(1)
+        latest = latest.reset_index(drop=True)
+        for c in ("started", "finished", "watermark"):
+            latest[c] = latest[c].astype("datetime64[us]")
+        out = os.path.join(
+            self.path, f"m-{time.time_ns()}-{uuid.uuid4().hex[:8]}.parquet")
+        latest.to_parquet(out, index=False)
+        removed = 0
+        for f in files:
+            try:
+                os.remove(f)
+                removed += 1
+            except FileNotFoundError:
+                pass
+        return removed
 
     def done(self, stage: str) -> set[str]:
         """Sinks recorded done for `stage` whose committed output still exists."""
@@ -115,14 +176,18 @@ class Manifest:
 
     def counts_by_sink(self) -> dict[tuple[str, str], int]:
         df = self.load()
+        # latest-wins resolved by the finished TIMESTAMP (content), not file
+        # order — append order only breaks ties, so compaction/concurrent
+        # writers can never shadow a fresher record with an older one
+        done = df[df["status"] == "done"].sort_values("finished", kind="stable")
         out: dict[tuple[str, str], int] = {}
-        for _, r in df[df["status"] == "done"].iterrows():
+        for _, r in done.iterrows():
             out[(r["stage"], r["sink"])] = int(r["rows"])
         return out
 
 
 def atomic_overwrite(df, path: str, partition_by: list[str] | None = None,
-                     committer=None) -> None:
+                     committer=None, max_records_per_file: int | None = None) -> None:
     """Write a DataFrame to `path` with snapshot-commit semantics.
 
     Spark writes into `<path>.__tmp__`, then the configured Committer (see
@@ -142,5 +207,9 @@ def atomic_overwrite(df, path: str, partition_by: list[str] | None = None,
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        # file rotation (WriterFile max-file-size analogue): Spark rolls to a
+        # new file when a task's output hits the cap
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(tmp)
     committer.commit(tmp, path)

@@ -41,6 +41,12 @@ from openlogparse_spark.route.committer import DEFAULT_COMMITTER
 
 SALT_BLOCK_TURNS = 256   # turns per salt block within one conversation
 DEFAULT_SALT_BUCKETS = 64
+# reshuffle='auto' file-budget estimate: the partitioning-reuse write makes
+# ~upstream_partitions x live (route,template) files; live templates per
+# route aren't knowable without a scan, so the estimate uses this heuristic
+# (the fixture domain averages ~5; 8 errs toward reshuffling early)
+EST_TEMPLATES_PER_ROUTE = 8
+DEFAULT_FILE_BUDGET = 4096
 
 
 def safe_count(spark, path: str) -> int:
@@ -114,7 +120,9 @@ def route_stage(
     strategy: str = "unified",
     committer=None,
     timings: dict | None = None,
-    reshuffle: bool = False,
+    reshuffle: bool | str = "auto",
+    file_budget: int = DEFAULT_FILE_BUDGET,
+    max_records_per_file: int | None = None,
 ) -> dict[str, int]:
     """Fan out `enriched` to one sink per route; returns {route_id: rows}.
 
@@ -124,10 +132,19 @@ def route_stage(
     then atomically moved into place as that route's sink — byte-layout
     identical to per-sink writes, at 1/N_routes the scan cost. (The
     reference writes each message once into one writer per pipeline; this is
-    the multi-sink generalization.) With reshuffle=False (default) the write
-    REUSES the upstream conv-clustered partitioning — zero extra exchanges;
-    reshuffle=True inserts a salted repartition for file-count control /
-    hot-conversation spreading when upstream task count is huge.
+    the multi-sink generalization.) reshuffle=False REUSES the upstream
+    conv-clustered partitioning — zero extra exchanges; reshuffle=True
+    inserts a salted repartition for file-count control / hot-conversation
+    spreading when upstream task count is huge; reshuffle='auto' (default)
+    picks: reuse while the estimated file count (upstream partitions x
+    routes x EST_TEMPLATES_PER_ROUTE) stays under `file_budget`, reshuffle
+    beyond it — so a caller with a 10k-task upstream can't silently produce
+    millions of small files.
+
+    `max_records_per_file` caps rows per output file on every parquet sink
+    (the reference WriterFile max-file-size / rotation-mode analogue,
+    /root/reference/src/writer/WriterFile.cpp:59-197) — Spark splits a
+    task's output into multiple files at the cap.
 
     strategy='fanout': one filtered write per route (N scans). Kept for
     per-sink independent re-runs.
@@ -140,7 +157,8 @@ def route_stage(
     if strategy == "unified":
         return _route_unified(enriched, routes, sinks_root, manifest, run_id,
                               salt_buckets, shuffle_partitions, committer,
-                              timings, reshuffle)
+                              timings, reshuffle, file_budget,
+                              max_records_per_file)
     done = manifest.done("route") if manifest else set()
     counts: dict[str, int] = {}
     salted = add_salt(enriched, salt_buckets)
@@ -166,7 +184,8 @@ def route_stage(
             .sortWithinPartitions("conv_id", "turn_idx")
             .drop("salt")
         )
-        atomic_overwrite(ready, sink_path, partition_by=["template_id"])
+        atomic_overwrite(ready, sink_path, partition_by=["template_id"],
+                         max_records_per_file=max_records_per_file)
         # parquet-footer count of the committed sink (metadata-only scan);
         # doubles as a read-back validation of the snapshot we just committed
         rows = safe_count(enriched.sparkSession, sink_path)
@@ -300,7 +319,9 @@ def _route_unified(
     shuffle_partitions: int | None,
     committer=None,
     timings: dict | None = None,
-    reshuffle: bool = False,
+    reshuffle: bool | str = "auto",
+    file_budget: int = DEFAULT_FILE_BUDGET,
+    max_records_per_file: int | None = None,
 ) -> dict[str, int]:
     """Single-pass fan-out: see route_stage(strategy='unified')."""
     committer = committer or DEFAULT_COMMITTER
@@ -332,6 +353,15 @@ def _route_unified(
     ])
     matched = enriched.withColumn(
         "route_id", F.explode(F.filter(route_tags, lambda x: x.isNotNull())))
+    if reshuffle == "auto":
+        # partitioning reuse writes ~upstream_partitions x live
+        # (route,template) files; beyond the budget that's a small-files
+        # problem, so flip to the explicit exchange automatically
+        up = enriched.rdd.getNumPartitions()
+        est_files = up * max(1, len(todo)) * EST_TEMPLATES_PER_ROUTE
+        reshuffle = est_files > file_budget
+    if timings is not None:
+        timings["route_reshuffle"] = bool(reshuffle)
     if reshuffle:
         # explicit exchange: clusters each sink's rows into few partitions
         # (files ~ salt_buckets x templates, independent of upstream task
@@ -357,7 +387,10 @@ def _route_unified(
     if os.path.exists(staging):
         shutil.rmtree(staging)
     os.makedirs(sinks_root, exist_ok=True)
-    ready.write.mode("overwrite").partitionBy("route_id", "template_id").parquet(staging)
+    w = ready.write.mode("overwrite").partitionBy("route_id", "template_id")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(staging)
     t_write = time.time()
 
     # per-sink row counts straight from parquet footers on the driver —

@@ -165,6 +165,57 @@ def test_route_reuse_mode_adds_no_exchange(spark, enriched, fx_dir):
     assert above_cache(shuffled).count("Exchange") == 1
 
 
+def test_auto_reshuffle_respects_file_budget(spark, enriched, fx_dir):
+    """reshuffle='auto' (the default): partitioning reuse under the file
+    budget, explicit exchange above it — a heavily partitioned upstream
+    can't silently produce an unbounded small-files sink."""
+    import glob as _glob
+
+    routes = spark.read.parquet(
+        os.path.join(fx_dir, "routes.parquet")).toPandas().to_dict("records")[:3]
+    ok = enriched.filter("parse_ok").repartition(64)   # pathological upstream
+
+    def run(root, budget):
+        shutil.rmtree(root, ignore_errors=True)
+        timings = {}
+        counts = route_stage(ok, routes, root, salt_buckets=4,
+                             shuffle_partitions=4, timings=timings,
+                             file_budget=budget)
+        nf = len(_glob.glob(os.path.join(root, "**", "*.parquet"),
+                            recursive=True))
+        return counts, timings["route_reshuffle"], nf
+
+    c_hi, flipped, nf_reshuffled = run(os.path.join(TMP, "auto_small"), 100)
+    assert flipped is True
+    c_lo, kept, nf_reuse = run(os.path.join(TMP, "auto_big"), 10**9)
+    assert kept is False
+    assert c_hi == c_lo                       # physical choice only
+    assert nf_reshuffled < nf_reuse           # the budget bought fewer files
+
+
+def test_max_records_per_file_knob(spark, enriched, fx_dir):
+    """WriterFile rotation analogue: every routed parquet file respects the
+    per-file row cap, at both router strategies."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    routes = spark.read.parquet(
+        os.path.join(fx_dir, "routes.parquet")).toPandas().to_dict("records")[:1]
+    ok = enriched.filter("parse_ok")
+    for strategy in ("unified", "fanout"):
+        root = os.path.join(TMP, f"rot_{strategy}")
+        shutil.rmtree(root, ignore_errors=True)
+        counts = route_stage(ok, routes, root, strategy=strategy,
+                             salt_buckets=2, shuffle_partitions=2,
+                             max_records_per_file=200)
+        files = _glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        assert files and counts[routes[0]["route_id"]] > 200
+        sizes = [pq.ParquetFile(f).metadata.num_rows for f in files]
+        assert max(sizes) <= 200, (strategy, max(sizes))
+        assert sum(sizes) == counts[routes[0]["route_id"]]
+
+
 def test_rac_merge_fan_in(spark, enriched, fx_dir):
     """K5 merge fan-in: two independently committed 'instance' sinks merge
     into ONE globally (ts, conv_id, turn_idx)-ordered output, rows conserved."""

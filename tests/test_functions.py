@@ -216,15 +216,20 @@ def test_cdc_changed_to_null_kept_in_wire_image(spark):
 
 
 def test_jaccard_df_cap_guard(spark, docs):
-    """With a cap no fixture shingle exceeds, results are byte-identical to
-    the exact path; with an aggressive cap the operator still runs and only
-    prunes (never invents) pairs above threshold."""
+    """The cap is ON by default (safe-by-default guard): where no shingle
+    exceeds it, results are byte-identical to the exact/uncapped path; the
+    opt-in drop-count diagnostic doesn't change results."""
     exact = {(r["id_a"], r["id_b"]): r["jaccard"]
-             for r in jaccard_pairs(docs, n=3, threshold=0.5).collect()}
-    capped_loose = {(r["id_a"], r["id_b"]): r["jaccard"]
-                    for r in jaccard_pairs(docs, n=3, threshold=0.5,
-                                           max_shingle_df=1000).collect()}
-    assert capped_loose == exact
+             for r in jaccard_pairs(docs, n=3, threshold=0.5,
+                                    max_shingle_df=None).collect()}
+    default_capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+                      for r in jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert default_capped == exact
+    logged = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in jaccard_pairs(docs, n=3, threshold=0.5,
+                                     max_shingle_df=1000,
+                                     log_dropped=True).collect()}
+    assert logged == exact
 
 
 def test_lsh_recall_vs_brute(spark):

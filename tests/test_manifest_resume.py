@@ -187,6 +187,50 @@ def test_manifest_records_sink_watermarks(spark, fx_dir):
     assert pd.Timestamp(row["watermark"]) == pd.Timestamp(actual)
 
 
+def test_manifest_compaction_gc(spark, fx_dir):
+    """Checkpoint GC (Metadata::deleteOldCheckpoints analogue): 1,000 records
+    fold to ONE file with done()/counts_by_sink() invariant, auto-compaction
+    bounds file count, and pipeline resume skips work across a compaction."""
+    root = "data/tmp/test_compact"
+    shutil.rmtree(root, ignore_errors=True)
+    man = Manifest(os.path.join(root, "manifest"), compact_threshold=None)
+    sink_dirs = []
+    for i in range(10):
+        d = os.path.join(root, f"sink{i}")
+        os.makedirs(d, exist_ok=True)
+        sink_dirs.append(d)
+    for n in range(1000):
+        man.record("r", "route", sink_dirs[n % 10], rows=n, nbytes=0)
+    assert len(man._files()) == 1000
+    before_done = man.done("route")
+    before_counts = man.counts_by_sink()
+    assert man.compact() == 1000
+    assert len(man._files()) == 1          # O(keys) -> load()/done() stay flat
+    assert man.done("route") == before_done
+    assert man.counts_by_sink() == before_counts  # latest-per-sink survived
+    assert len(man.load()) == 10
+
+    # auto-compaction: record() keeps the file count bounded at the threshold
+    man2 = Manifest(os.path.join(root, "m2"), compact_threshold=50)
+    for n in range(300):
+        man2.record("r", "stage", "", rows=n, nbytes=0)
+    assert len(man2._files()) <= 51
+    assert man2.counts_by_sink()[("stage", "")] == 299   # latest still wins
+
+    # resume across a compaction cycle: second run still skips everything
+    proot = os.path.join(root, "pipe")
+    base = dict(input_path=os.path.join(fx_dir, "transcripts.parquet"),
+                dims_dir=fx_dir, output_root=proot, salt_buckets=4)
+    run_pipeline(spark, PipelineConfig(run_id="c1", **base))
+    pman = Manifest(os.path.join(proot, "manifest"))
+    pman.compact()
+    n_before = len(pman.load())
+    run_pipeline(spark, PipelineConfig(run_id="c2", **base))
+    after = pman.load()
+    assert len(after) == n_before           # every stage skipped, none re-ran
+    assert (after.stage == "enrich").sum() == 1
+
+
 def test_hard_kill_mid_route_then_resume(spark, fx_dir):
     """TRUE crash test: SIGKILL a pipeline subprocess while the route write
     is in flight, then resume in-process — every sink completes and matches

@@ -685,6 +685,27 @@ FROM parsed WHERE parse_ok GROUP BY 1, 2
 """
 
 
+def _t_template_counts_drain(spark, sf_dir):
+    """Same invariant as t_template_counts but through the pandas Drain
+    mining path (SURVEY §4 custom piece #1, parse/stage.py — the Arrow-batch
+    tree-mining stage), giving the drain mode its own DuckDB-green driver
+    row instead of only the in-repo drain/sql parity pytest.
+
+    Restricted to k=v-structured rows (text containing '='): on those the
+    two parsers MUST agree, so the masking oracle applies; free-form garbage
+    is where Drain intentionally diverges — it clusters it while the sql
+    mask quarantines it — and no SQL oracle can express that clustering."""
+    from openlogparse_spark.parse import parse_stage
+
+    raw = _fixture(spark, "transcripts")
+    return (
+        parse_stage(raw, mode="drain")
+        .filter("parse_ok AND contains(text, '=')")
+        .groupBy("template_id", "template")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
 def _t_agg_hourly(spark, sf_dir):
     from openlogparse_spark.aggregate import agg_hourly
     from openlogparse_spark.parse import parse_stage
@@ -812,6 +833,9 @@ def _t_params_typed(spark, sf_dir):
         F.sum(F.col("p.bytes")).alias("sum_bytes"),
         F.sum(F.col("p.tokens")).alias("sum_tokens"),
         F.max(F.col("p.scn")).alias("max_scn"),
+        # TIMESTAMP-typed decode (reference Builder.cpp:210-252 DATE/TS
+        # emit): native max over the chkpt template's at=<iso-ts> param
+        F.max(F.col("p.at")).alias("max_at"),
     )
 
 
@@ -821,7 +845,8 @@ SELECT template_id, COUNT(*) AS n_turns,
   SUM(TRY_CAST(NULLIF(regexp_extract(text, '(^| )rows=([^ ]+)', 2), '') AS BIGINT)) AS sum_rows,
   SUM(TRY_CAST(NULLIF(regexp_extract(text, '(^| )bytes=([^ ]+)', 2), '') AS BIGINT)) AS sum_bytes,
   SUM(TRY_CAST(NULLIF(regexp_extract(text, '(^| )tokens=([^ ]+)', 2), '') AS BIGINT)) AS sum_tokens,
-  MAX(TRY_CAST(NULLIF(regexp_extract(text, '(^| )scn=([^ ]+)', 2), '') AS BIGINT)) AS max_scn
+  MAX(TRY_CAST(NULLIF(regexp_extract(text, '(^| )scn=([^ ]+)', 2), '') AS BIGINT)) AS max_scn,
+  MAX(TRY_CAST(NULLIF(regexp_extract(text, '(^| )at=([^ ]+)', 2), '') AS TIMESTAMP)) AS max_at
 FROM parsed WHERE parse_ok GROUP BY template_id
 """
 
@@ -886,6 +911,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # transcripts: the north-rule pipeline invariants as driver queries
     "t_merge_text": (_t_merge_text, _T_MERGE_SQL),
     "t_template_counts": (_t_template_counts, _T_TEMPLATE_COUNTS_SQL),
+    "t_template_counts_drain": (_t_template_counts_drain, _T_TEMPLATE_COUNTS_SQL),
     "t_agg_hourly": (_t_agg_hourly, _T_AGG_HOURLY_SQL),
     "t_route_counts": (_t_route_counts, _T_ROUTE_COUNTS_SQL),
     "t_conv_stats": (_t_conv_stats, _T_CONV_STATS_SQL),

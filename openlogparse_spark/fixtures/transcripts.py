@@ -113,6 +113,10 @@ def _gen_params(rng: np.random.Generator, name: str, n: int) -> list[str]:
         return list(rng.choice(["done", "timeout", "user_exit"], n))
     if name == "sentence":
         return list(rng.choice(list(NOTE_SENTENCES), n))
+    if name == "at":
+        # ISO-8601 'T' form: single token (no spaces), survives k=v masking
+        secs = EPOCH_2026 + rng.integers(0, 96 * 3600, n)
+        return [np.datetime_as_string(np.datetime64(int(v), "s")) for v in secs]
     raise KeyError(name)
 
 

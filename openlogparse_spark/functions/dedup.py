@@ -79,10 +79,14 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
         "id", F.explode("sh_arr").alias("shingle"))
 
 
+# above this many over-cap shingles the literal array_except plan would blow
+# up the expression tree; fall back to the anti-join + window plan instead
+_HOT_SHINGLE_LITERAL_LIMIT = 1024
+
+
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  max_shingle_df: int | None = 10_000,
-                  log_dropped: bool = False) -> DataFrame:
+                  max_shingle_df: int | None = 10_000) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
@@ -101,33 +105,63 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     hides in ubiquitous shingles). SAFE BY DEFAULT: the cap defaults to 10k —
     a no-op on any corpus where exact pairwise Jaccard is a sane choice, a
     blowup guard everywhere else; pass None for the exact/uncapped semantics,
-    or use minhash_lsh_pairs at web scale. `log_dropped=True` additionally
-    runs one small count job over the (persisted) document-frequency table to
-    report how many distinct shingles the cap removed — off by default so the
-    operator stays fully lazy."""
+    or use minhash_lsh_pairs at web scale.
+
+    Cap cost discipline: over-cap shingles are found with ONE eager
+    aggregate over the persisted shingle sets (the count of dropped shingles
+    is logged). The common case — few boilerplate shingles — then removes
+    them via array_except with a LITERAL hot list, so the main self-join
+    plan is byte-identical in shape to the uncapped one (zero extra
+    shuffles; a df-table join + re-size window here measured 8x wall at
+    sf0.1). Only a pathological corpus (> _HOT_SHINGLE_LITERAL_LIMIT hot
+    shingles) pays for the join+window plan, which is correct at any
+    hot-list size."""
     import logging
 
     sets = _shingle_sets(_widen(df), n, text_col, id_col)
-    sh = sets.select("id", F.size("sh_arr").alias("sz"),
-                     F.explode("sh_arr").alias("shingle"))
+    # persist: BOTH sides of the self-join (and the hot-shingle probe) read
+    # this subtree — without it the whole normalize+shingle expansion runs
+    # per consumer; measured 10x wall at sf0.1
+    sets = sets.persist()
+    heavy_cap = False
+    # document frequency is bounded by the document count, so the cap cannot
+    # bind on a corpus with <= cap documents — skip the hot-shingle probe
+    # entirely (one cheap count vs a full shingle-expansion aggregate)
+    if max_shingle_df is not None and df.count() <= max_shingle_df:
+        max_shingle_df = None
     if max_shingle_df is not None:
         log = logging.getLogger(__name__)
-        log.info("jaccard_pairs: shingle document-frequency cap %d active "
-                 "(shingles above it are dropped from every document's set)",
-                 max_shingle_df)
-        dfreq_all = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        if log_dropped:
-            n_dropped = dfreq_all.filter(F.col("df") > max_shingle_df).count()
-            log.warning("jaccard_pairs: cap %d dropped %d distinct shingles",
-                        max_shingle_df, n_dropped)
-        dfreq = dfreq_all.filter(F.col("df") <= max_shingle_df)
+        hot_rows = (
+            sets.select(F.explode("sh_arr").alias("shingle"))
+            .groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+            .limit(_HOT_SHINGLE_LITERAL_LIMIT + 1)
+            .collect()
+        )
+        if not hot_rows:
+            pass   # cap never binds: the exact plan, untouched
+        elif len(hot_rows) <= _HOT_SHINGLE_LITERAL_LIMIT:
+            hot = [r["shingle"] for r in hot_rows]
+            log.warning("jaccard_pairs: df cap %d drops %d distinct shingles",
+                        max_shingle_df, len(hot))
+            sets = sets.withColumn(
+                "sh_arr",
+                F.array_except("sh_arr", F.array(*[F.lit(s) for s in hot])))
+        else:
+            log.warning(
+                "jaccard_pairs: df cap %d drops > %d distinct shingles — "
+                "using the join-based cap plan", max_shingle_df,
+                _HOT_SHINGLE_LITERAL_LIMIT)
+            heavy_cap = True
+    sh = sets.select("id", F.size("sh_arr").alias("sz"),
+                     F.explode("sh_arr").alias("shingle"))
+    if heavy_cap:
+        dfreq = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") <= max_shingle_df))
         capped = sh.join(dfreq.select("shingle"), "shingle")
         w_sz = Window.partitionBy("id")
         sh = capped.withColumn("sz", F.count(F.lit(1)).over(w_sz))
-    # persist: BOTH sides of the self-join read this subtree — without the
-    # persist the whole normalize+shingle expansion runs twice (and the
-    # broadcast build a third time); measured 10x wall at sf0.1
-    sh = sh.persist()
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -148,7 +182,7 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     )
     # cache lifetime = result lifetime (long-lived drivers would otherwise
     # leak one cached subtree per invocation); see functions/cache.py
-    return release_on_gc(out, sh)
+    return release_on_gc(out, sets)
 
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 64, n: int = 3,

@@ -56,9 +56,13 @@ def cosine_topk(
     """Exact top-k: (query_id, neighbor_id, rank, score). Self-matches excluded.
 
     Deterministic tie-break on neighbor_id."""
+    from openlogparse_spark.functions.dedup import _widen
+
     q = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    # widen: the corpus x queries nested loop runs one task per corpus split
+    c = _widen(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     dot = _dot(F.col("qvec"), F.col("cvec"))
     score = dot if normalized else dot / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
     scored = (
@@ -100,6 +104,45 @@ def _bucket_expr(vec, dims, table, n_planes: int, seed: int):
     )
 
 
+def hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, tbl, bucket): one NARROW row per (vector, hash table) — id and
+    two small ints only. The vector itself never rides the explode: at L
+    tables an explode carrying a 768-dim embedding ships L copies of every
+    vector through the shuffle; candidates join the vectors back by id
+    exactly once instead."""
+    from openlogparse_spark.functions.dedup import _widen
+
+    # L x n_planes x dim hashes per vector: spread the compute when the
+    # input arrives in too few splits (a small parquet file is ONE scan
+    # task — single-threaded plane hashing otherwise)
+    df = _widen(df)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.sequence(F.lit(0), F.size(vec_col) - F.lit(1)).alias("__dims"),
+    )
+    tb = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.struct(
+                t.alias("tbl"),
+                _bucket_expr(F.col("vec"), F.col("__dims"), t,
+                             n_planes, seed).alias("bucket"),
+            ),
+        )
+    )
+    return (
+        base.select("id", tb.alias("s"))
+        .select("id", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+    )
+
+
 def hyperplane_signatures(
     df: DataFrame,
     n_planes: int = 8,
@@ -108,12 +151,12 @@ def hyperplane_signatures(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """(id, vec, tbl, bucket): one row per (vector, hash table).
+    """(id, vec, tbl, bucket): one row per (vector, hash table), carrying the
+    vector for an immediate exact re-rank (see hyperplane_buckets for the
+    narrow variant used when the re-rank joins vectors back by id)."""
+    from openlogparse_spark.functions.dedup import _widen
 
-    L=n_tables independent sign-bit signatures per vector (OR-amplification);
-    each table's bucket is a long of n_planes bits. One narrow explode —
-    output is n_tables rows per vector, each carrying the vector for the
-    downstream exact re-rank."""
+    df = _widen(df)   # same split-spreading rationale as hyperplane_buckets
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         F.sequence(F.lit(0), F.size(vec_col) - F.lit(1)).alias("__dims"),
@@ -146,7 +189,8 @@ def hyperplane_signature(df: DataFrame, n_planes: int = 16,
 def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       method: str = "brute",
-                      n_planes: int = 4, n_tables: int = 32, seed: int = 42,
+                      n_planes: int = 4, n_tables: int = 8,
+                      multiprobe: int = 1, seed: int = 42,
                       normalized: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
     id_a < id_b and cosine >= threshold — the embedding-space member of the
@@ -154,24 +198,36 @@ def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
 
     method='brute': full self-join (exact; the oracle-checkable baseline —
     O(n²) scores, fine up to ~10⁵ vectors per blocking partition).
-    method='lsh':  candidates restricted to pairs sharing >=1 of L
-    OR-amplified hyperplane buckets, then exact verification — same
-    (n_planes, n_tables) sizing rules as lsh_cosine_topk."""
+    method='lsh':  candidates = pairs whose NARROW (id, tbl, bucket) rows
+    collide in >=1 table, with one side additionally probing Hamming-1
+    buckets (multi-probe), then exact verification on vectors joined back by
+    id — same sizing rules and scale rationale as lsh_cosine_topk."""
     sig = None
     if method == "brute":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        sig = hyperplane_signatures(df, n_planes, n_tables, id_col, vec_col, seed)
-        sig = sig.persist()   # self-join: compute signatures once, not twice
-        s_a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
-                         "tbl", "bucket")
-        s_b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
-                         "tbl", "bucket")
-        cand = (s_a.join(s_b, ["tbl", "bucket"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .dropDuplicates(["id_a", "id_b"]))
+        sig = hyperplane_buckets(df, n_planes, n_tables, id_col, vec_col, seed)
+        sig = sig.persist()   # self-join: compute bucket hashes once, not twice
+        s_a = sig.select(F.col("id").alias("id_a"), "tbl", "bucket")
+        s_b = sig.select(F.col("id").alias("id_b"), "tbl", "bucket")
+        if multiprobe:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                  for j in range(n_planes)])
+            s_b = s_b.select("id_b", "tbl", F.explode(probes).alias("bucket"))
+        pairs = (s_a.join(s_b, ["tbl", "bucket"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b")
+                 .dropDuplicates(["id_a", "id_b"]))
+        v = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+        cand = (pairs
+                .join(v.select(F.col("__vid").alias("id_a"),
+                               F.col("__v").alias("va")), "id_a")
+                .join(v.select(F.col("__vid").alias("id_b"),
+                               F.col("__v").alias("vb")), "id_b"))
     dot = _dot(F.col("va"), F.col("vb"))
     score = dot if normalized else dot / (_norm(F.col("va")) * _norm(F.col("vb")))
     out = (cand.select("id_a", "id_b", F.round(score, 4).alias("score"))
@@ -260,37 +316,56 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                    n_planes: int = 4, n_tables: int = 32, seed: int = 42,
+                    n_planes: int = 4, n_tables: int = 8, multiprobe: int = 1,
+                    seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     normalized: bool = False) -> DataFrame:
-    """Approximate top-k with OR-amplified LSH: candidates = pairs colliding
-    in >=1 of L tables, exactly re-ranked by true cosine.
+    """Approximate top-k with multi-probe OR-amplified LSH: candidates =
+    pairs whose buckets agree in >=1 of L tables after the QUERY side also
+    probes every Hamming-1-adjacent bucket (Lv et al., VLDB'07 multi-probe
+    LSH), exactly re-ranked by true cosine.
 
     Same output schema/scoring as cosine_topk so recall is directly
     comparable (tests/test_functions.py pins recall >= 0.9 at the driver
-    parameters). At scale: L bucketed joins expressed as ONE join on
-    (tbl, bucket) over the exploded signatures; the per-pair dedupe before
-    scoring keeps the re-rank O(#distinct candidates).
+    parameters).
 
-    Parameter honesty: collision prob per table at angle θ is (1-θ/π)^n, so
-    (n_planes, n_tables) MUST be sized to the corpus's neighbor-angle
-    distribution. The sandbox embeddings are near-uniform (true top-5
-    neighbors sit at cos≈0.24-0.40, i.e. ~70-76°, barely better than the 90°
-    of random pairs — the worst case for any sublinear ANN, LSH or IVF; an
-    IVF probe sweep measured ≤0.62 recall at any candidate fraction ≤0.38).
-    The defaults (4, 32) give ~0.98 expected recall there at the cost of a
-    large candidate fraction at 500 docs; on a real embedding corpus with
-    close neighbors (cos≥0.7), n_planes=8-16 prunes aggressively at the same
-    recall. The knobs exist precisely because this tradeoff is data-owned."""
-    c = hyperplane_signatures(corpus, n_planes, n_tables, id_col, vec_col, seed)
-    q = hyperplane_signatures(queries, n_planes, n_tables, id_col, vec_col, seed).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "tbl", "bucket")
+    Scale shape: the corpus side explodes into L NARROW (id, tbl, bucket)
+    rows — neither the 32x row amplification nor the embedding payload of
+    the round-2 design rides the shuffle (vectors join back by id once, and
+    multi-probing moves the amplification to the tiny broadcast query side:
+    (n_planes+1) probes per table). Per-table candidate probability at
+    angular similarity s: s^n + n·s^(n-1)(1-s) with Hamming-1 probing — so
+    L=8 tables match the recall 32 exact-probe tables bought, at 1/4 the
+    corpus explode and 1/4 the plane-hash compute.
+
+    Parameter honesty (unchanged from round 2): the sandbox embeddings are
+    near-uniform (true top-5 neighbors at cos≈0.24-0.40 — the worst case for
+    any sublinear ANN), so the candidate fraction approaches the corpus at
+    the shipped defaults (expected recall ≈0.99 there). On a real corpus
+    with close neighbors (cos>=0.7), raise n_planes to 8-16 for aggressive
+    pruning at the same recall. multiprobe=0 restores exact-bucket probing;
+    only Hamming<=1 is supported (wider probing is combinatorial and L is
+    the cheaper knob)."""
+    cb = hyperplane_buckets(corpus, n_planes, n_tables, id_col, vec_col, seed)
+    qb = hyperplane_buckets(queries, n_planes, n_tables, id_col, vec_col, seed) \
+        .select(F.col("id").alias("query_id"), "tbl", "bucket")
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
+        qb = qb.select("query_id", "tbl", F.explode(probes).alias("bucket"))
     cand = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("id") != F.col("query_id"))
-        # OR-amplification dedupe: a pair colliding in several tables scores once
+        # OR-amplification dedupe: a pair colliding in several tables/probes
+        # scores once
+        .select("query_id", "id")
         .dropDuplicates(["query_id", "id"])
     )
+    cvec = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    qvec = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qvec"))
+    cand = cand.join(cvec, "id").join(F.broadcast(qvec), "query_id")
     dot = _dot(F.col("qvec"), F.col("vec"))
     score = dot if normalized else dot / (_norm(F.col("qvec")) * _norm(F.col("vec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

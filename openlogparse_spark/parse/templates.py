@@ -88,7 +88,7 @@ TEMPLATES: tuple[Template, ...] = (
     Template("update", "update", "UPDATE obj={obj} rows={n}", ("obj", "n")),
     Template("delete", "delete", "DELETE obj={obj} rows={n}", ("obj", "n")),
     Template("ddl", "ddl", "DDL stmt={ddltype} obj={obj}", ("ddltype", "obj")),
-    Template("chkpt", "chkpt", "CHECKPOINT scn={scn} idx={i}", ("scn", "i")),
+    Template("chkpt", "chkpt", "CHECKPOINT scn={scn} idx={i} at={at}", ("scn", "i", "at")),
     Template("read", "read", "READ file={path} bytes={n}", ("path", "n"), gen_role="tool"),
     Template("write", "write", "WRITE file={path} bytes={n}", ("path", "n"), gen_role="tool"),
     Template("fetch", "fetch", "FETCH url={url} status={status}", ("url", "status"), gen_role="tool"),
@@ -128,6 +128,10 @@ PARAM_TYPES: dict[str, str] = {
     "value": "double",    # metric value
     "dur": "bigint",      # session close duration (s)
     "id": "bigint",       # note id
+    # DATE/TIMESTAMP decode parity (reference Builder.cpp:210-252 emits
+    # typed time values, not strings): checkpoint wall-clock, ISO-8601 'T'
+    # form — a single token, so masking/grok see it like any k=v value
+    "at": "timestamp_ntz",
 }
 
 # templates whose turns carry a non-null `tool` column

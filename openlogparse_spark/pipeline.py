@@ -189,6 +189,23 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
     # shuffle stages). Same trick a real cluster uses to keep executors busy.
     from concurrent.futures import ThreadPoolExecutor
 
+    # Spark job controls (scheduler pool / job group) are THREAD-LOCAL and —
+    # PySpark gotcha — do NOT propagate to plain child threads; without this
+    # copy, jobs submitted from the pool below would escape the caller's
+    # pool and cancelJobGroup handle (jobs/manager.py relies on both)
+    sc = spark.sparkContext
+    _props = {k: sc.getLocalProperty(k) for k in (
+        "spark.scheduler.pool", "spark.jobGroup.id",
+        "spark.job.description", "spark.job.interruptOnCancel")}
+
+    def _inherit(fn):
+        def wrapped(*a, **kw):
+            for k, v in _props.items():
+                if v is not None:
+                    sc.setLocalProperty(k, v)
+            return fn(*a, **kw)
+        return wrapped
+
     sink_counts: dict[str, int] = {}
     futures = {}
     with ThreadPoolExecutor(max_workers=5) as pool:
@@ -209,7 +226,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
             ] + [{"route_id": "quarantine", "sink": "quarantine",
                   "template_pattern": "", "condition": "NOT parse_ok"}]
             futures["route"] = pool.submit(
-                route_stage,
+                _inherit(route_stage),
                 enriched,
                 fanout,
                 os.path.join(cfg.output_root, "sinks"),
@@ -233,7 +250,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
                 ("conv_stats", conv_stats(enriched)),
                 ("conv_outcomes", conv_outcomes(enriched.filter("parse_ok"))),
             ):
-                futures[name] = pool.submit(_write_agg, name, df)
+                futures[name] = pool.submit(_inherit(_write_agg), name, df)
 
         if "route" in cfg.stages:
             sink_counts = futures["route"].result()

@@ -234,7 +234,12 @@ def _route_special_format(enriched: DataFrame, r: dict, sinks_root: str,
         frame = kafka_frame(matched, key_cols=tuple(r.get("key_cols", tag_cols)),
                             topic=r.get("topic"))
         if r.get("kafka_servers"):
-            (frame.write.format("kafka")
+            # 'kafka_format' is a contract-test seam: the name 'kafka' is
+            # reserved by Spark even without the kafka jar, so the
+            # broker-less test registers a Python Data Source under another
+            # name and drives THIS exact branch (options, frame, save)
+            (frame.write.format(r.get("kafka_format", "kafka"))
+             .mode("append")   # a topic is append-only by nature
              .option("kafka.bootstrap.servers", r["kafka_servers"])
              .option("topic", r.get("topic", r["route_id"])).save())
             rows = -1  # broker-side; no readable sink dir to count

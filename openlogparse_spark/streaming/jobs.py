@@ -174,12 +174,16 @@ def stream_routed_sink(dims_dir: str, sinks_root: str,
          .parquet(batch_dir))
         if manifest is not None:
             # same lineage trail as the batch router: rows + event-time
-            # watermark per committed micro-batch (confirmedScn progression)
-            from openlogparse_spark.route.router import safe_count
+            # watermark per committed micro-batch (confirmedScn progression).
+            # Both come from the parquet FOOTERS of the files just written —
+            # driver-side metadata reads, zero extra Spark jobs (the round-2
+            # version re-scanned each micro-batch twice: a count job plus an
+            # agg(max(ts)) job)
+            from openlogparse_spark.route.router import _footer_counts
 
-            n = safe_count(spark, batch_dir)
-            wm = (batch_df.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
-                  if "ts" in batch_df.columns else None)
+            counts, marks = _footer_counts(batch_dir)
+            n = sum(counts.values())
+            wm = max(marks.values()) if marks else None
             manifest.record(run_id, "stream_route", batch_dir, n, 0,
                             watermark=wm)
 

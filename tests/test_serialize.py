@@ -66,6 +66,8 @@ def test_typed_params_decode(spark):
         (1, 1, "tool", "RESULT tool=bash rc=0 bytes=1024", "bash", "2026-01-01 00:00:01"),
         (1, 2, "assistant", "METRIC name=lat value=1.5", None, "2026-01-01 00:00:02"),
         (1, 3, "assistant", "INSERT obj=t2 rows=notanumber", None, "2026-01-01 00:00:03"),
+        (1, 4, "assistant", "CHECKPOINT scn=9 idx=1 at=2026-02-01T10:30:05",
+         None, "2026-01-01 00:00:04"),
     ]
     df = spark.createDataFrame(
         rows, "conv_id long, turn_idx long, role string, text string, tool string, ts string"
@@ -76,6 +78,10 @@ def test_typed_params_decode(spark):
     assert by_idx[1]["rc"] == 0 and by_idx[1]["bytes"] == 1024
     assert by_idx[2]["value"] == 1.5
     assert by_idx[3]["rows"] is None  # malformed value -> NULL, never an abort
+    import datetime as _dt
+    # timestamp-typed decode (DATE/TIMESTAMP parity, Builder.cpp:210-252)
+    assert by_idx[4]["scn"] == 9
+    assert by_idx[4]["at"] == _dt.datetime(2026, 2, 1, 10, 30, 5)
 
 
 def test_json_format_knobs(parsed):
@@ -118,6 +124,76 @@ def test_kafka_frame_contract(parsed):
     assert frame.schema["value"].dataType.simpleString() == "binary"
     row = frame.first()
     json.loads(bytes(row["value"]).decode())  # value is one JSON message
+
+
+def test_kafka_route_real_writer_branch_contract(spark, parsed):
+    """Drive the REAL `format('kafka')` writer branch end-to-end without a
+    broker: a Python Data Source stands in for the kafka sink (the name
+    'kafka' itself is reserved by Spark even without the jar, so the route's
+    documented `kafka_format` test seam points the SAME branch at the fake)
+    and captures what Spark hands the sink — rows, schema, writer options.
+    Verifies the full contract the broker would see: binary key/value, the
+    configured topic, and kafka.bootstrap.servers propagated."""
+    import glob as _glob
+    import json as _json
+
+    from pyspark.sql.datasource import DataSource, DataSourceWriter
+
+    capture = os.path.abspath(os.path.join(TMP, "kafka_capture"))
+    shutil.rmtree(capture, ignore_errors=True)
+    os.makedirs(capture)
+
+    class _FakeKafkaWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.options = dict(options)
+
+        def write(self, it):
+            import uuid as _uuid
+
+            from pyspark.sql.datasource import WriterCommitMessage
+
+            rows = [{"key": bytes(r.key).decode(),
+                     "value": bytes(r.value).decode(),
+                     "topic_opt": self.options.get("topic"),
+                     "servers": self.options.get("kafka.bootstrap.servers")}
+                    for r in it]
+            if rows:
+                with open(os.path.join(capture, f"{_uuid.uuid4().hex}.json"), "w") as f:
+                    _json.dump(rows, f)
+            return WriterCommitMessage()
+
+        def commit(self, messages):
+            pass
+
+        def abort(self, messages):
+            pass
+
+    class _FakeKafka(DataSource):
+        @classmethod
+        def name(cls):
+            return "fakekafka"
+
+        def writer(self, schema, overwrite):
+            assert [f.name for f in schema.fields][:2] == ["key", "value"]
+            return _FakeKafkaWriter(self.options)
+
+    spark.dataSource.register(_FakeKafka)
+    routes = [{"route_id": "r_kbroker", "sink": "r_kbroker", "format": "kafka",
+               "template_pattern": "^CALL ", "condition": "",
+               "topic": "calls", "kafka_servers": "fake-broker:9092",
+               "kafka_format": "fakekafka"}]
+    counts = route_stage(parsed, routes, os.path.join(TMP, "sinks_kb"))
+    assert counts["r_kbroker"] == -1      # broker-side: no readable sink dir
+    rows = []
+    for f in _glob.glob(os.path.join(capture, "*.json")):
+        with open(f) as fh:
+            rows.extend(_json.load(fh))
+    expect = parsed.filter(F.col("template").rlike("^CALL ")).count()
+    assert len(rows) == expect and expect > 0
+    assert all(r["topic_opt"] == "calls" for r in rows)
+    assert all(r["servers"] == "fake-broker:9092" for r in rows)
+    json.loads(rows[0]["value"])          # value is one JSON message
+    assert rows[0]["key"]                 # routing key present
 
 
 def test_json_route_sink_roundtrips(spark, parsed):

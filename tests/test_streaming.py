@@ -138,6 +138,11 @@ def test_stream_dictionary_refresh_mid_stream(spark, fx_dir):
     assert len(srows) >= 2                      # one record per micro-batch
     assert (srows["rows"] > 0).all()
     assert srows["watermark"].notna().all()     # event-time progression
+    # the watermark comes from parquet footer stats (zero extra Spark jobs);
+    # it must equal the true max event time of the committed micro-batch
+    row = srows.iloc[0]
+    actual = spark.read.parquet(row["sink"]).agg(F.max("ts")).first()[0]
+    assert pd.Timestamp(row["watermark"]) == pd.Timestamp(actual)
 
 
 def test_stream_sessions_close_and_timeout(spark, stream_input):

@@ -137,6 +137,23 @@ def main() -> None:
     streaming_tps = round(n_turns / dt, 1)
     total += dt
 
+    # 1c) parse-stage mode comparison: Catalyst mask (sql) vs the pandas
+    # Drain tree (SURVEY §4 custom piece #1) on the same transcripts —
+    # quantifies the Arrow-stage overhead the drain mode pays for handling
+    # non-k=v logs. Best of 2, full fit+apply each time.
+    from openlogparse_spark.parse import parse_stage
+
+    raw = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
+    for mode in ("sql", "drain"):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            parse_stage(raw, mode=mode).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[f"parse_{mode}"] = round(best, 3)
+        total += best
+
     # 2) representative operator queries on the driver tables — best of 2:
     # the first execution of a query compiles its codegen'd expression tree
     # (5-8s for the big higher-order-function plans); steady-state latency is

@@ -225,6 +225,15 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
                 for r in routes
             ] + [{"route_id": "quarantine", "sink": "quarantine",
                   "template_pattern": "", "condition": "NOT parse_ok"}]
+            # the pipeline KNOWS its upstream partitioning, so the router's
+            # auto-reshuffle never has to estimate (much less probe — .rdd
+            # would execute the plan under AQE): one-shot plans end at the
+            # merge-window exchange (= shuffle partitions); a materialized
+            # enriched table scans as its file splits
+            if cfg.materialize_enriched:
+                up = len(enriched.inputFiles())
+            else:
+                up = int(spark.conf.get("spark.sql.shuffle.partitions"))
             futures["route"] = pool.submit(
                 _inherit(route_stage),
                 enriched,
@@ -232,6 +241,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
                 os.path.join(cfg.output_root, "sinks"),
                 man, cfg.run_id, cfg.salt_buckets,
                 timings=timings,
+                upstream_partitions=up,
             )
 
         if "aggregate" in cfg.stages:

@@ -123,6 +123,7 @@ def route_stage(
     reshuffle: bool | str = "auto",
     file_budget: int = DEFAULT_FILE_BUDGET,
     max_records_per_file: int | None = None,
+    upstream_partitions: int | None = None,
 ) -> dict[str, int]:
     """Fan out `enriched` to one sink per route; returns {route_id: rows}.
 
@@ -146,6 +147,12 @@ def route_stage(
     /root/reference/src/writer/WriterFile.cpp:59-197) — Spark splits a
     task's output into multiple files at the cap.
 
+    `upstream_partitions`: callers that KNOW their plan's final-stage
+    partition count (e.g. the pipeline: its one-shot plan always ends at
+    the merge-window exchange = spark.sql.shuffle.partitions) pass it here
+    so reshuffle='auto' decides on the real number instead of the
+    conservative estimate.
+
     strategy='fanout': one filtered write per route (N scans). Kept for
     per-sink independent re-runs.
 
@@ -158,7 +165,7 @@ def route_stage(
         return _route_unified(enriched, routes, sinks_root, manifest, run_id,
                               salt_buckets, shuffle_partitions, committer,
                               timings, reshuffle, file_budget,
-                              max_records_per_file)
+                              max_records_per_file, upstream_partitions)
     done = manifest.done("route") if manifest else set()
     counts: dict[str, int] = {}
     salted = add_salt(enriched, salt_buckets)
@@ -327,6 +334,7 @@ def _route_unified(
     reshuffle: bool | str = "auto",
     file_budget: int = DEFAULT_FILE_BUDGET,
     max_records_per_file: int | None = None,
+    upstream_partitions: int | None = None,
 ) -> dict[str, int]:
     """Single-pass fan-out: see route_stage(strategy='unified')."""
     committer = committer or DEFAULT_COMMITTER
@@ -361,8 +369,25 @@ def _route_unified(
     if reshuffle == "auto":
         # partitioning reuse writes ~upstream_partitions x live
         # (route,template) files; beyond the budget that's a small-files
-        # problem, so flip to the explicit exchange automatically
-        up = enriched.rdd.getNumPartitions()
+        # problem, so flip to the explicit exchange automatically.
+        # Upstream partitions are ESTIMATED, never probed via .rdd — with
+        # AQE enabled, DataFrame.rdd materializes the adaptive plan, i.e.
+        # EXECUTES the upstream shuffle stages (measured 52s on the sf2.0
+        # pipeline plan — it silently re-ran parse+mining). The estimate is
+        # a conservative upper bound: final-stage partitioning is the
+        # shuffle-partition count for shuffled plans, ~input file splits for
+        # scan-only plans; max() of both over-counts shuffled many-file
+        # plans, which errs toward reshuffling (bounded files, one extra
+        # exchange) — the safe direction.
+        up = upstream_partitions
+        if up is None:
+            sess = enriched.sparkSession
+            try:
+                n_files = len(enriched.inputFiles())
+            except Exception:
+                n_files = 0
+            up = max(int(sess.conf.get("spark.sql.shuffle.partitions")),
+                     sess.sparkContext.defaultParallelism, n_files)
         est_files = up * max(1, len(todo)) * EST_TEMPLATES_PER_ROUTE
         reshuffle = est_files > file_budget
     if timings is not None:

@@ -74,9 +74,18 @@ def _shingle_sets(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFram
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    explode_outer, NOT explode: InferFiltersFromGenerate adds a
+    size(child)>0 filter under a non-outer Generate, and predicate pushdown
+    then drags the ENTIRE shingle computation below the _widen exchange into
+    the (single) scan task — the expensive generator child runs twice, once
+    serially (measured ~4s serial at sf0.1 regardless of core count). The
+    rule skips outer generates; dropping the empty-array NULL row afterwards
+    is the same semantics at explode cost."""
     return _shingle_sets(df, n, text_col, id_col).select(
-        "id", F.explode("sh_arr").alias("shingle"))
+        "id", F.explode_outer("sh_arr").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
 
 
 # above this many over-cap shingles the literal array_except plan would blow
@@ -132,7 +141,8 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     if max_shingle_df is not None:
         log = logging.getLogger(__name__)
         hot_rows = (
-            sets.select(F.explode("sh_arr").alias("shingle"))
+            sets.select(F.explode_outer("sh_arr").alias("shingle"))
+            .filter(F.col("shingle").isNotNull())
             .groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
             .select("shingle")
@@ -154,8 +164,12 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                 "using the join-based cap plan", max_shingle_df,
                 _HOT_SHINGLE_LITERAL_LIMIT)
             heavy_cap = True
+    # explode_outer + null-drop: see shingles() — a plain explode's inferred
+    # size()>0 filter would re-run the whole shingle build serially below
+    # the widen exchange
     sh = sets.select("id", F.size("sh_arr").alias("sz"),
-                     F.explode("sh_arr").alias("shingle"))
+                     F.explode_outer("sh_arr").alias("shingle")
+                     ).filter(F.col("shingle").isNotNull())
     if heavy_cap:
         dfreq = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
                  .filter(F.col("df") <= max_shingle_df))
@@ -250,7 +264,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     — map-side combined, 64x less shuffle). Sign fold happens after."""
     toks = _widen(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(_norm(text_col), " ")).alias("tok"),
+        # explode_outer: see shingles() — the inferred size()>0 filter of a
+        # plain explode re-runs the normalize+split below the widen exchange
+        F.explode_outer(F.split(_norm(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
     h = toks.select("id", F.xxhash64("tok").alias("h"))
 

@@ -127,7 +127,11 @@ def hyperplane_buckets(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         F.sequence(F.lit(0), F.size(vec_col) - F.lit(1)).alias("__dims"),
     )
-    tb = F.explode(
+    # explode_outer, not explode: a non-outer Generate gets an inferred
+    # size(child)>0 filter that predicate pushdown drags below the _widen
+    # exchange — ALL plane hashes would be computed a second time, serially,
+    # in the scan task (see dedup.shingles for the same trap)
+    tb = F.explode_outer(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_tables - 1)),
             lambda t: F.struct(
@@ -140,6 +144,7 @@ def hyperplane_buckets(
     return (
         base.select("id", tb.alias("s"))
         .select("id", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+        .filter(F.col("tbl").isNotNull())
     )
 
 
@@ -161,7 +166,7 @@ def hyperplane_signatures(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         F.sequence(F.lit(0), F.size(vec_col) - F.lit(1)).alias("__dims"),
     )
-    tb = F.explode(
+    tb = F.explode_outer(   # see hyperplane_buckets: inferred-filter trap
         F.transform(
             F.sequence(F.lit(0), F.lit(n_tables - 1)),
             lambda t: F.struct(
@@ -174,6 +179,7 @@ def hyperplane_signatures(
     return (
         base.select("id", "vec", tb.alias("s"))
         .select("id", "vec", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+        .filter(F.col("tbl").isNotNull())
     )
 
 

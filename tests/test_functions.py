@@ -172,6 +172,28 @@ def test_ivf_nprobe_exceeding_centroids_is_clamped(spark):
     assert got == exact  # probing all cells == brute force
 
 
+def test_expensive_generators_not_recomputed_below_widen_exchange(spark, docs):
+    """Plan pin for the InferFiltersFromGenerate trap: a non-outer explode
+    gets an inferred size(child)>0 filter that predicate pushdown drags
+    below the _widen exchange — the whole generator child (shingle build /
+    LSH plane hashes) then runs a second time, serially, in the scan task
+    (measured flat wall across local[1/8/32] before the fix). The fix is
+    explode_outer; this asserts no lambda-bearing expression sits on the
+    scan side of the exchange."""
+    from openlogparse_spark.functions.dedup import shingles
+    from openlogparse_spark.functions.similarity import hyperplane_buckets
+
+    one_part = docs.repartition(1)   # forces the _widen exchange
+    emb = spark.createDataFrame(
+        [(i, [float(j) for j in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<float>").repartition(1)
+    for df in (shingles(one_part), hyperplane_buckets(emb)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan, plan
+        below = plan.split("Exchange", 1)[1]   # the scan side
+        assert "lambdafunction" not in below, below
+
+
 def test_selfjoin_caches_released(spark, docs):
     """Pair operators persist() their self-join input; the cache must not
     outlive the returned plan (round-2 ADVICE: long-lived drivers leak one

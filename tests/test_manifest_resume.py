@@ -231,6 +231,37 @@ def test_manifest_compaction_gc(spark, fx_dir):
     assert (after.stage == "enrich").sum() == 1
 
 
+def test_manifest_concurrent_writers_with_auto_compaction():
+    """The pipeline records sink commits from a thread pool against ONE
+    Manifest with auto-compaction on — concurrent record() + compact() must
+    never lose a key or resurrect a stale count (latest-wins is resolved by
+    the finished timestamp, not file order)."""
+    import threading
+
+    root = "data/tmp/test_compact_mt"
+    shutil.rmtree(root, ignore_errors=True)
+    man = Manifest(os.path.join(root, "manifest"), compact_threshold=40)
+    n_threads, n_each = 8, 75
+
+    def writer(t):
+        for i in range(n_each):
+            man.record("r", "route", f"sink{t}", rows=i, nbytes=0)
+
+    threads = [threading.Thread(target=writer, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    man.compact()
+    counts = man.counts_by_sink()
+    assert len(counts) == n_threads                      # no key lost
+    for t in range(n_threads):
+        # each sink's surviving record is its writer's LAST one
+        assert counts[("route", f"sink{t}")] == n_each - 1, t
+    assert len(man._files()) <= n_threads + 1            # GC actually ran
+
+
 def test_hard_kill_mid_route_then_resume(spark, fx_dir):
     """TRUE crash test: SIGKILL a pipeline subprocess while the route write
     is in flight, then resume in-process — every sink completes and matches

@@ -46,7 +46,16 @@ def _widen(df: DataFrame) -> DataFrame:
     in too few splits (a 10 MB parquet file is ONE scan task, so the 30x
     shingle/token explode would run single-threaded). The tiny pre-explode
     shuffle is orders cheaper than serializing the expansion; inputs that
-    already have enough splits pass through untouched."""
+    already have enough splits pass through untouched.
+
+    The partition-count probe (.rdd) runs ONLY on shuffle-free plans: under
+    AQE, DataFrame.rdd materializes the adaptive plan — on a plan with
+    exchanges that EXECUTES the upstream shuffle stages (see route/router
+    auto-reshuffle for the measured cost). A plan that already shuffles is
+    at least as wide as its last exchange and needs no widening."""
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    if "Exchange" in plan:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)

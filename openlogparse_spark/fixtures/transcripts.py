@@ -29,6 +29,11 @@ import pandas as pd
 from openlogparse_spark.parse.templates import NOTE_SENTENCES, TEMPLATES
 
 SEED = 42
+# bump when the generator's output changes (new params/templates): stale
+# on-disk fixtures from an older generator are silently wrong for DuckDB
+# oracles that recompute from the same parquet, so ensure_fixtures()
+# regenerates on mismatch
+FIXTURE_VERSION = 2
 EPOCH_2026 = pd.Timestamp("2026-01-01", tz=None).value // 10**9  # UTC seconds
 
 TOOLS = [
@@ -117,6 +122,11 @@ def _gen_params(rng: np.random.Generator, name: str, n: int) -> list[str]:
         # ISO-8601 'T' form: single token (no spaces), survives k=v masking
         secs = EPOCH_2026 + rng.integers(0, 96 * 3600, n)
         return [np.datetime_as_string(np.datetime64(int(v), "s")) for v in secs]
+    if name == "lag":
+        # ANSI HOUR TO SECOND interval string: single token, castable to
+        # INTERVAL by both Spark and DuckDB (interval-typed decode parity)
+        lag_s = rng.integers(0, 13 * 3600, n)
+        return [f"{v // 3600}:{(v // 60) % 60:02d}:{v % 60:02d}" for v in lag_s]
     raise KeyError(name)
 
 
@@ -316,11 +326,22 @@ def write_fixtures(sf: float, base: str | None = None, seed: int = SEED) -> str:
         else:
             # small row groups keep even a single file splittable
             df.to_parquet(path, index=False, row_group_size=65536)
+    with open(os.path.join(d, "_VERSION"), "w") as f:
+        f.write(str(FIXTURE_VERSION))
     return d
+
+
+def _on_disk_version(d: str) -> int:
+    try:
+        with open(os.path.join(d, "_VERSION")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
 
 
 def ensure_fixtures(sf: float, base: str | None = None) -> str:
     d = fixture_dir(sf, base)
-    if not os.path.exists(os.path.join(d, "transcripts.parquet")):
+    if (not os.path.exists(os.path.join(d, "transcripts.parquet"))
+            or _on_disk_version(d) != FIXTURE_VERSION):
         return write_fixtures(sf, base)
     return d

@@ -2,10 +2,13 @@
 
 Images/audio/video ride through the pipeline as `binary` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run as
-Arrow-batched pandas UDFs over mapInPandas. The media libraries (PIL, ffmpeg,
-torchaudio) are NOT in this container, so the decode kernels are STUBBED —
-clearly marked — behind a deterministic fake; everything Spark-side (schema,
-batching, partition sizing, UDF signatures) is real and tested.
+Arrow-batched pandas UDFs over mapInPandas. The IMAGE kernels are selected by
+an import probe: with Pillow installed they decode/resize real pixels; in
+this container (no PIL/ffmpeg) they fall back to clearly-marked deterministic
+fakes — everything Spark-side (schema, batching, partition sizing, UDF
+signatures) is identical and tested on both paths, so a deployment gets
+working kernels with zero code edits. Audio/video decode stays stubbed
+(would need ffmpeg/torchaudio).
 
 Scale notes: binary payloads dominate row size — `spark.sql.files.
 maxPartitionBytes` should be sized so one partition's payloads fit the Arrow
@@ -23,6 +26,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+try:  # import probe: real pixel kernels iff Pillow is installed
+    from PIL import Image as _PILImage
+except ImportError:  # container path: deterministic stubs
+    _PILImage = None
+
+HAS_PIL = _PILImage is not None
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "meta struct<mime:string, width:int, height:int, duration_ms:int>"
@@ -36,13 +46,40 @@ _STUB_DIM = 8
 def _stub_decode_features(payload: bytes, kind: str) -> list[float]:
     """STUB: deterministic fake 'embedding' from payload bytes.
 
-    A real deployment replaces this body with PIL/torchvision/ffmpeg decode →
-    model features. Raising NotImplementedError here would abort the batch;
+    Used for audio/video always (no ffmpeg kernel), and for images when
+    Pillow is absent. Raising NotImplementedError here would abort the batch;
     instead we derive a stable vector from a sha1 so tests exercise the full
     distributed path.
     """
     h = hashlib.sha1(kind.encode() + payload).digest()
     return [b / 255.0 for b in h[:_STUB_DIM]]
+
+
+def _pil_image_features(payload: bytes) -> list[float] | None:
+    """REAL image kernel (Pillow path): decode, downscale, per-channel
+    mean/std — a model-free but genuine pixel-derived feature vector with
+    the same _STUB_DIM arity as the stub. Returns None on undecodable
+    payloads (the quarantine analogue: a corrupt image must not abort the
+    Arrow batch)."""
+    import io
+
+    try:
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB").resize((16, 16))
+    except Exception:  # noqa: BLE001 — any decode failure quarantines the row
+        return None
+    px = list(img.getdata())
+    n = float(len(px))
+    means = [sum(p[c] for p in px) / n / 255.0 for c in range(3)]
+    stds = [(sum((p[c] / 255.0 - means[c]) ** 2 for p in px) / n) ** 0.5
+            for c in range(3)]
+    w, h = img.size
+    return (means + stds + [w / 4096.0, h / 4096.0])[:_STUB_DIM]
+
+
+def _decode_features(payload: bytes, kind: str) -> list[float] | None:
+    if kind == "image" and HAS_PIL:
+        return _pil_image_features(payload)
+    return _stub_decode_features(payload, kind)
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
@@ -67,7 +104,7 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _stub_decode_features(bytes(p), k)
+                _decode_features(bytes(p), k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
@@ -85,16 +122,29 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
 
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Arrow-batched image resize: (media_id, payload, meta) → resized payload
-    + updated meta. The pixel kernel is STUBBED (no PIL in this container):
-    the fake output is a deterministic `width*height*3`-byte buffer seeded by
-    the source sha1 — correct output SIZE and stable content, so partition
-    sizing, Arrow batch shapes, and meta rewriting are all real. A deployment
-    replaces `_stub_resize` with `PIL.Image.open(...).resize(...)`."""
+    + updated meta. Kernel selected by the import probe: with Pillow the
+    payload is decoded, resized, and re-emitted as raw RGB bytes (undecodable
+    payloads quarantine to NULL, never abort the batch); without it (this
+    container) the STUB emits a deterministic `width*height*3`-byte buffer
+    seeded by the source sha1 — correct output SIZE and stable content, so
+    partition sizing, Arrow batch shapes, and meta rewriting are all real on
+    both paths."""
 
     def _stub_resize(payload: bytes, w: int, h: int) -> bytes:
         seed = hashlib.sha1(payload).digest()
         need = w * h * 3
         return (seed * (need // len(seed) + 1))[:need]
+
+    def _pil_resize(payload: bytes, w: int, h: int) -> bytes | None:
+        import io
+
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        except Exception:  # noqa: BLE001 — corrupt image -> NULL payload
+            return None
+        return img.resize((w, h)).tobytes()
+
+    kernel = _pil_resize if HAS_PIL else _stub_resize
 
     out_schema = (
         "media_id long, kind string, payload binary, "
@@ -104,7 +154,8 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = [
-                bytearray(_stub_resize(bytes(p), width, height))
+                (lambda out: bytearray(out) if out is not None else None)(
+                    kernel(bytes(p), width, height))
                 for p in pdf["payload"]
             ]
             meta = [

@@ -99,7 +99,12 @@ class PipelineManager:
         """{name: {state, wall_sec, sink_counts?, error?}} — the manager's
         status endpoint."""
         out: dict[str, dict] = {}
-        for name, run in self._runs.items():
+        # snapshot under the lock: status() is the concurrent control-plane
+        # endpoint, and a start() mutating _runs mid-iteration would raise
+        # "dictionary changed size during iteration"
+        with self._lock:
+            items = list(self._runs.items())
+        for name, run in items:
             end = run.finished or time.time()
             info: dict = {"wall_sec": round(end - run.started, 2)}
             if run.finished is None:
@@ -117,7 +122,9 @@ class PipelineManager:
     def wait_all(self, timeout: float | None = None) -> dict[str, dict]:
         """Block until every started pipeline finishes; returns status()."""
         deadline = None if timeout is None else time.time() + timeout
-        for run in list(self._runs.values()):
+        with self._lock:
+            runs = list(self._runs.values())
+        for run in runs:
             t = run.thread
             if t is not None:
                 t.join(None if deadline is None

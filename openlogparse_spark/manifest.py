@@ -38,6 +38,15 @@ MANIFEST_COLS = [
 ]
 
 
+def _write_parquet_atomic(df: pd.DataFrame, fname: str) -> None:
+    """Write-then-rename so a concurrent reader/compactor never observes a
+    half-written parquet file (rename is atomic on POSIX; the .inprogress
+    suffix keeps the temp out of _files()' .parquet listing)."""
+    tmp = fname + ".inprogress"
+    df.to_parquet(tmp, index=False)
+    os.rename(tmp, fname)
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -108,7 +117,7 @@ class Manifest:
         for c in ("started", "finished", "watermark"):
             rec[c] = rec[c].astype("datetime64[us]")
         fname = os.path.join(self.path, f"m-{time.time_ns()}-{uuid.uuid4().hex[:8]}.parquet")
-        rec.to_parquet(fname, index=False)
+        _write_parquet_atomic(rec, fname)
         if self.compact_threshold is not None:
             # one listdir per record — record() fires per stage/sink commit
             # (low rate), and the listdir is microseconds at the threshold
@@ -117,12 +126,21 @@ class Manifest:
         return snapshot_id
 
     def load(self) -> pd.DataFrame:
-        files = self._files()
-        if not files:
-            return pd.DataFrame(columns=MANIFEST_COLS)
         # file order is the append order (m-<ns> names sort by write time);
-        # later files override earlier ones wherever "latest per key" matters
-        return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        # later files override earlier ones wherever "latest per key" matters.
+        # A concurrent compact() may remove a listed file between listdir and
+        # read — its records live on in the compacted file, so skip it (same
+        # tolerance as compact() itself; pipeline stages call done()/
+        # counts_by_sink() while commit threads record() and auto-compact)
+        frames = []
+        for f in self._files():
+            try:
+                frames.append(pd.read_parquet(f))
+            except FileNotFoundError:
+                continue
+        if not frames:
+            return pd.DataFrame(columns=MANIFEST_COLS)
+        return pd.concat(frames, ignore_index=True)
 
     def compact(self) -> int:
         """Fold the manifest to ONE file holding the latest record per
@@ -140,12 +158,20 @@ class Manifest:
         files = self._files()
         if len(files) <= 1:
             return 0
-        frames = []
+        frames, read_ok = [], []
         for f in files:
             try:
                 frames.append(pd.read_parquet(f))
+                read_ok.append(f)
             except FileNotFoundError:
                 continue   # another compactor swept it — its records survive
+            except Exception:
+                # unreadable file (e.g. a foreign half-written artifact —
+                # our own writes are rename-atomic): leave it in place for a
+                # later sweep rather than fold-and-delete records we never read
+                continue
+        if not frames:
+            return 0
         df = pd.concat(frames, ignore_index=True)
         # order by finished time with append order as tie-break (stable sort):
         # robust even if file names ever stop sorting chronologically
@@ -156,9 +182,11 @@ class Manifest:
             latest[c] = latest[c].astype("datetime64[us]")
         out = os.path.join(
             self.path, f"m-{time.time_ns()}-{uuid.uuid4().hex[:8]}.parquet")
-        latest.to_parquet(out, index=False)
+        _write_parquet_atomic(latest, out)
         removed = 0
-        for f in files:
+        # only the files actually folded in — deleting an unread file would
+        # lose its records
+        for f in read_ok:
             try:
                 os.remove(f)
                 removed += 1

@@ -88,7 +88,8 @@ TEMPLATES: tuple[Template, ...] = (
     Template("update", "update", "UPDATE obj={obj} rows={n}", ("obj", "n")),
     Template("delete", "delete", "DELETE obj={obj} rows={n}", ("obj", "n")),
     Template("ddl", "ddl", "DDL stmt={ddltype} obj={obj}", ("ddltype", "obj")),
-    Template("chkpt", "chkpt", "CHECKPOINT scn={scn} idx={i} at={at}", ("scn", "i", "at")),
+    Template("chkpt", "chkpt", "CHECKPOINT scn={scn} idx={i} at={at} lag={lag}",
+             ("scn", "i", "at", "lag")),
     Template("read", "read", "READ file={path} bytes={n}", ("path", "n"), gen_role="tool"),
     Template("write", "write", "WRITE file={path} bytes={n}", ("path", "n"), gen_role="tool"),
     Template("fetch", "fetch", "FETCH url={url} status={status}", ("url", "status"), gen_role="tool"),
@@ -132,6 +133,11 @@ PARAM_TYPES: dict[str, str] = {
     # typed time values, not strings): checkpoint wall-clock, ISO-8601 'T'
     # form — a single token, so masking/grok see it like any k=v value
     "at": "timestamp_ntz",
+    # INTERVAL decode parity (reference Builder.cpp:354-589 INTERVAL_DTS /
+    # INTERVAL_YTM typed emit, Format.h:47-54): checkpoint apply-lag as an
+    # ANSI day-time interval — 'H:MM:SS' is the HOUR TO SECOND string form
+    # both Spark CAST and DuckDB CAST(... AS INTERVAL) parse identically
+    "lag": "interval hour to second",
 }
 
 # templates whose turns carry a non-null `tool` column

@@ -54,3 +54,59 @@ def test_stop_cancels_then_resume_completes(spark, fx_dir):
     res = fut2.result(timeout=600)
     assert res.sink_counts["r_txn"] > 0
     assert mgr.status()["victim"]["state"] == "done"
+
+
+def test_http_front_start_status_stop(spark, fx_dir):
+    """HTTP control plane (ReplicatorHttpServer.cpp:43-111 analogue):
+    POST /start/{name} with config-merge over defaults, GET /status,
+    409 on double-start, 404 on unknown stop."""
+    import json as _json
+    import urllib.request
+    from urllib.error import HTTPError
+
+    from openlogparse_spark.jobs.http_front import ManagerHttpServer
+
+    root = os.path.join(TMP, "http")
+    shutil.rmtree(root, ignore_errors=True)
+    mgr = PipelineManager(spark)
+    srv = ManagerHttpServer(
+        mgr,
+        defaults={"input_path": os.path.join(fx_dir, "transcripts.parquet"),
+                  "dims_dir": fx_dir, "salt_buckets": 4, "run_id": "http"},
+    ).start()
+    base = f"http://{srv.host}:{srv.port}"
+
+    def call(method, path, body=None):
+        req = urllib.request.Request(
+            base + path, method=method,
+            data=_json.dumps(body).encode() if body is not None else None)
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, _json.loads(r.read())
+
+    try:
+        st, out = call("POST", "/start/h1", {"output_root": root})
+        assert (st, out) == (200, {"started": "h1"})
+        # double-start while running (or finished-restart, also legal) — the
+        # running case must 409; poll status until done either way
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            st, status = call("GET", "/status")
+            if status["h1"]["state"] != "running":
+                break
+            time.sleep(1)
+        assert status["h1"]["state"] == "done"
+        assert status["h1"]["sink_counts"]["r_txn"] > 0
+        # unknown-name stop -> 404
+        try:
+            call("POST", "/stop/nope")
+            raise AssertionError("expected 404")
+        except HTTPError as e:
+            assert e.code == 404
+        # bad config -> 400
+        try:
+            call("POST", "/start/h2", {"no_such_field": 1})
+            raise AssertionError("expected 400")
+        except HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.close()

@@ -66,7 +66,7 @@ def test_typed_params_decode(spark):
         (1, 1, "tool", "RESULT tool=bash rc=0 bytes=1024", "bash", "2026-01-01 00:00:01"),
         (1, 2, "assistant", "METRIC name=lat value=1.5", None, "2026-01-01 00:00:02"),
         (1, 3, "assistant", "INSERT obj=t2 rows=notanumber", None, "2026-01-01 00:00:03"),
-        (1, 4, "assistant", "CHECKPOINT scn=9 idx=1 at=2026-02-01T10:30:05",
+        (1, 4, "assistant", "CHECKPOINT scn=9 idx=1 at=2026-02-01T10:30:05 lag=1:02:03",
          None, "2026-01-01 00:00:04"),
     ]
     df = spark.createDataFrame(
@@ -82,6 +82,10 @@ def test_typed_params_decode(spark):
     # timestamp-typed decode (DATE/TIMESTAMP parity, Builder.cpp:210-252)
     assert by_idx[4]["scn"] == 9
     assert by_idx[4]["at"] == _dt.datetime(2026, 2, 1, 10, 30, 5)
+    # interval-typed decode (INTERVAL_DTS parity, Builder.cpp:354-589):
+    # a real DayTimeIntervalType value, not a bigint-of-seconds
+    assert by_idx[4]["lag"] == _dt.timedelta(hours=1, minutes=2, seconds=3)
+    assert by_idx[0]["lag"] is None
 
 
 def test_json_format_knobs(parsed):

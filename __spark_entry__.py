@@ -548,6 +548,51 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.2
 """
 
 
+def _dedup_components(spark, sf_dir):
+    """Transitive near-dup clustering: jaccard pairs -> connected components
+    (keep-one-per-cluster step); singletons are their own component."""
+    from openlogparse_spark.functions.dedup import dup_components, jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2)
+    return dup_components(pairs, all_ids=docs.select("doc_id"))
+
+
+_DEDUP_COMPONENTS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest([array_to_string(tk[i:i+2], ' ')
+                           FOR i IN generate_series(1, greatest(len(tk)-2, 1))]) AS shingle
+    FROM toks
+  ) WHERE length(shingle) > 0
+), sizes AS (
+  SELECT id, COUNT(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, r) AS (
+  SELECT doc_id AS u, doc_id AS r FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+)
+SELECT u AS id, MIN(r) AS component FROM reach GROUP BY u
+"""
+
+
 def _minhash_lsh(spark, sf_dir):
     from openlogparse_spark.functions.dedup import minhash_lsh_pairs
 
@@ -920,6 +965,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_winnow": (_doc_winnow, _DOC_WINNOW_SQL),
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_SQL),
     "jaccard_pairs": (_jaccard_pairs, _JACCARD_SQL),
+    "dedup_components": (_dedup_components, _DEDUP_COMPONENTS_SQL),
     "minhash_lsh_pairs": (_minhash_lsh, None),     # xxhash64 family: no SQL twin
     "simhash_near_pairs": (_simhash_pairs, None),  # xxhash64 family: no SQL twin
     # embeddings: similarity search

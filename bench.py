@@ -48,8 +48,11 @@ def run_isolated(queries: list[str]) -> dict[str, float]:
     for name in queries:
         try:
             p = subprocess.run(
+                # runs=3: in a FRESH session run 1 is codegen compile and
+                # run 2 still pays JVM JIT warmup (measured 11.2/3.2/2.3s on
+                # the same query); best-of-3 is the steady-state number
                 [sys.executable, os.path.join(REPO, "scripts", "profile_query.py"),
-                 name, "--runs=2"],
+                 name, "--runs=3"],
                 capture_output=True, text=True, timeout=600, check=True)
             res = json.loads(p.stdout.strip().splitlines()[-1])
             out[name] = res[name]["best"]

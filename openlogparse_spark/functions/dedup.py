@@ -224,6 +224,65 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     return release_on_gc(out, persisted)
 
 
+def dup_components(pairs: DataFrame, all_ids: DataFrame | None = None,
+                   id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: (id, component) with
+    component = min doc id reachable — the "keep one per duplicate cluster"
+    step a training-data dedup pipeline runs AFTER pair generation (any of
+    exact/jaccard/minhash/simhash/cosine pairs feed it; transitive closure
+    matters because near-dup is not transitive: A~B, B~C chains must land in
+    one cluster).
+
+    Distributed shape: iterative min-label propagation with POINTER JUMPING
+    (each round: c(u) <- min over self+neighbors of c, then c(u) <- c(c(u))),
+    the Hash-to-Min style O(log n)-round scheme (Rastogi et al. 2013) —
+    without the jump a k-long chain needs k rounds. Every round is two joins
+    on the PAIR set (|pairs| << corpus at any sane threshold). Each round's
+    result is localCheckpoint'ed: the round plan references its predecessor
+    ~3x, so without LINEAGE TRUNCATION the logical plan grows exponentially
+    and Catalyst re-analysis dominates (measured: a 21-node chain took 212s
+    un-truncated, <10s truncated — caching alone does not cap plan growth).
+    On a cluster, swap localCheckpoint for reliable checkpoint() if executor
+    loss during the loop must be survivable. Convergence is detected via
+    sum(c), which strictly decreases iff any label changed (labels are
+    monotone non-increasing), so the driver-side loop runs one tiny agg per
+    round — no collect of node data. An iterative algorithm needs the driver
+    loop; that is the one place SURVEY §2 allows it.
+
+    `all_ids` (a one-column DataFrame of doc ids): include singleton
+    documents (no pairs) as their own component — the full-corpus contract a
+    downstream keep-filter wants."""
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))))
+    nodes = edges.select("u")
+    if all_ids is not None:
+        nodes = nodes.union(all_ids.toDF("u"))
+    edges = edges.localCheckpoint()
+    labels = nodes.distinct().select("u", F.col("u").alias("c")).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        # neighbor min: for v, the labels of every neighbor u (edges are
+        # symmetric, so one direction of join covers both)
+        nbr = edges.join(labels, "u").select(F.col("v").alias("u"), "c")
+        # checkpointed: cand feeds both pointer-jump sides below
+        cand = (labels.union(nbr).groupBy("u").agg(F.min("c").alias("c"))
+                .localCheckpoint())
+        # pointer jump: follow the label's own label one hop (c is always a
+        # node id, so the self-join lookup is total; left join is belt+braces)
+        lut = cand.select(F.col("u").alias("c"), F.col("c").alias("cc"))
+        labels = (cand.join(lut, "c", "left")
+                  .select("u", F.least("c", F.coalesce("cc", "c")).alias("c"))
+                  .localCheckpoint())
+        # superseded rounds' checkpoint caches are GC-swept by the
+        # ContextCleaner once these rebindings drop the last reference
+        cur = labels.agg(F.sum("c").alias("s")).collect()[0]["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(F.col("u").alias("id"), F.col("c").alias("component"))
+
+
 def minhash_signatures(df: DataFrame, num_hashes: int = 64, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, sig array<long>): k independent min-hashes of the shingle set.

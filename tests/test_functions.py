@@ -437,3 +437,47 @@ def test_winnow_fingerprint_is_edit_local(spark):
     union = len(fps[0] | fps[1])
     assert inter / union >= 0.5          # most fingerprints survive the edit
     assert fps[0] != fps[1]              # but the edit is detectable
+
+
+def test_dup_components_matches_union_find(spark):
+    """dup_components == pure-python union-find on a seeded random graph
+    with singletons, plus a 60-node chain (the pointer-jumping case: plain
+    min-propagation needs 60 rounds; the operator must converge well inside
+    its max_iter=25 via the label-of-label jump)."""
+    import random
+
+    from openlogparse_spark.functions.dedup import dup_components
+
+    rnd = random.Random(7)
+    n = 200
+    edges = {(a, b) if a < b else (b, a)
+             for a, b in (sorted(rnd.sample(range(n), 2)) for _ in range(150))}
+    edges |= {(1000 + i, 1000 + i + 1) for i in range(60)}   # long chain
+    ids = list(range(n)) + [1000 + i for i in range(61)] + [9999]  # 9999 singleton
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min id per component
+    expect = {}
+    for i in ids:
+        r = find(i)
+        expect.setdefault(r, min(j for j in ids if find(j) == r))
+    want = {i: expect[find(i)] for i in ids}
+
+    pairs = spark.createDataFrame([(a, b) for a, b in edges], "id_a long, id_b long")
+    all_ids = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: r["component"]
+           for r in dup_components(pairs, all_ids=all_ids).collect()}
+    assert got == want
+    assert got[9999] == 9999          # singleton kept, own component
+    assert got[1060] == 1000          # chain fully collapsed

@@ -71,6 +71,18 @@ def _widen(df: DataFrame) -> DataFrame:
     return df
 
 
+def _cheap_count(df: DataFrame) -> int | None:
+    """Row count IFF the plan is a bare scan (± filter/project): no shuffle,
+    no generate, no join — then count() is one cheap column-less pass (and
+    often footer-only). On a derived lineage return None: an eager count
+    would execute the whole upstream plan outside any cache (the round-3
+    advice trap), so callers must probe a persisted derivative instead."""
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    if _SHUFFLE_EXCHANGE.search(plan) or "Generate" in plan or "Join" in plan:
+        return None
+    return df.count()
+
+
 def _shingle_sets(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, sh_arr): distinct word n-gram shingles per document as an array.
 
@@ -145,6 +157,16 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     hot-list size."""
     import logging
 
+    # document frequency is bounded by the document count, so the cap cannot
+    # bind on a corpus with <= cap documents. Decide BEFORE building plans
+    # when the input is a bare scan (one cheap column-less count): the
+    # common small-corpus call then runs zero probe jobs and stays as lazy
+    # as the uncapped plan. Derived inputs fall through to a probe on the
+    # persisted sets below (one job that doubles as the cache warm-up),
+    # never an eager count of the raw lineage.
+    n_docs = _cheap_count(df) if max_shingle_df is not None else None
+    if n_docs is not None and n_docs <= max_shingle_df:
+        max_shingle_df = None
     sets = _shingle_sets(_widen(df), n, text_col, id_col)
     # persist: BOTH sides of the self-join (and the hot-shingle probe) read
     # this subtree — without it the whole normalize+shingle expansion runs
@@ -154,12 +176,8 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     # hand to release_on_gc.
     sets = persisted = sets.persist()
     heavy_cap = False
-    # document frequency is bounded by the document count, so the cap cannot
-    # bind on a corpus with <= cap documents — probe the PERSISTED sets (one
-    # job that doubles as the cache warm-up for both self-join sides), never
-    # the raw input: on a derived input (join/parse output) a df.count()
-    # would execute the whole upstream plan once, outside the cache
-    if max_shingle_df is not None and persisted.count() <= max_shingle_df:
+    if (max_shingle_df is not None and n_docs is None
+            and persisted.count() <= max_shingle_df):
         max_shingle_df = None
     if max_shingle_df is not None:
         log = logging.getLogger(__name__)
@@ -298,54 +316,101 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 64, n: int = 3,
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+# below this corpus size WIDE banding wins: at 16 bands the wide explode
+# ships 16x(sig 512B + key) per doc — ~9 MB per 1k docs, trivial until the
+# corpus reaches the 100k+ regime — while the narrow shape pays two extra
+# candidate shuffles (dedup + by-id signature join-backs). Above it the sig
+# payload dominates every exchange (1M docs ≈ 8.8 GB wide vs ~0.25 GB
+# narrow) and the join-backs touch only surviving candidates.
+_NARROW_SHUFFLE_MIN_DOCS = 200_000
+
+
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
                       n: int = 3, threshold: float = 0.5,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      narrow: bool | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, then verified by estimated
     Jaccard (signature agreement). Returns (id_a, id_b, est_jaccard).
 
-    NARROW-ROW banding (the same shape as lsh_cosine_topk in similarity.py):
-    the band explode and the (band, bh) self-join carry only (id, band, bh)
-    — at 16 bands a wide banding would ship 16 copies of the 64-long
-    (512-byte) signature per doc through the explode shuffle, plus sig_a/
-    sig_b on every candidate row. Signatures stay in the persisted per-doc
-    table (one row per doc) and join back BY ID only for the surviving
-    candidates' agreement estimate. At 100 TB this is the difference
-    between a KB-scale and a sig-payload candidate shuffle."""
+    Two plan shapes, identical answers (pinned by the XXH64 value oracle):
+
+    narrow=True — the 100 TB shape (same as lsh_cosine_topk): the band
+    explode and (band, bh) self-join carry only (id, band, bh); signatures
+    stay in the persisted one-row-per-doc table and join back BY ID only
+    for surviving candidates' agreement estimate. At 16 bands a wide
+    banding ships 16 copies of the 512-byte signature per doc through the
+    explode shuffle plus sig_a/sig_b on every candidate row.
+
+    narrow=False — the small-corpus shape: signatures ride the banding
+    explode and the single self-join produces (sig_a, sig_b) directly —
+    fewer shuffles, and the payload cost is irrelevant below
+    _NARROW_SHUFFLE_MIN_DOCS (bytes math on the constant).
+
+    Default (None) auto-selects by corpus size: a bare-scan input is counted
+    directly (cheap column-less pass); a derived input counts the persisted
+    signature table (one job that doubles as the cache warm-up)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
-    # both banding sides + both agreement joins read this one-row-per-doc
-    # table; persisting it (not the 16x exploded banding) keeps the cache
-    # and every downstream shuffle signature-free except the final by-id join
-    sig = sig.persist()
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                                 for r in range(rows_per_band)]).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    cand = (
-        cand.join(sig.select(F.col("id").alias("id_a"),
-                             F.col("sig").alias("sig_a")), "id_a")
-        .join(sig.select(F.col("id").alias("id_b"),
-                         F.col("sig").alias("sig_b")), "id_b")
-    )
+    cached: list[DataFrame] = []
+    if narrow is None:
+        n_docs = _cheap_count(df)
+        if n_docs is None:
+            sig = sig.persist()
+            cached.append(sig)
+            n_docs = sig.count()
+        narrow = n_docs >= _NARROW_SHUFFLE_MIN_DOCS
+
+    def banded_cols(extra: list[str]) -> DataFrame:
+        return sig.select(
+            *extra, "id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                                     for r in range(rows_per_band)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(*extra, "id", "bb.band", "bb.bh")
+
+    if narrow:
+        # both banding sides + both agreement joins read the one-row-per-doc
+        # table; persisting it (not the 16x exploded banding) keeps the cache
+        # and every shuffle signature-free except the final by-id joins
+        sig = sig.persist()
+        if not any(c is sig for c in cached):
+            cached.append(sig)
+        banded = banded_cols([])
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cand = (
+            cand.join(sig.select(F.col("id").alias("id_a"),
+                                 F.col("sig").alias("sig_a")), "id_a")
+            .join(sig.select(F.col("id").alias("id_b"),
+                             F.col("sig").alias("sig_b")), "id_b")
+        )
+    else:
+        # wide: one persisted exploded banding feeds both self-join sides;
+        # sigs arrive on the candidate rows, no join-backs, no second dedup
+        banded = banded_cols(["sig"]).persist()
+        cached.append(banded)
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                           lambda m: m)) / F.lit(float(num_hashes))
     out = (
@@ -353,7 +418,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
-    return release_on_gc(out, sig)
+    return release_on_gc(out, *cached)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -428,20 +493,27 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     pairs -> ~a few k). agree_chunks=1 is the classic single-chunk blocking
     (coarser keys but (h+2)x fewer exploded rows — faster when the explode
     dominates). Default (None) auto-selects by corpus size at the
-    _SIMHASH_MULTI_INDEX_MIN_DOCS crossover; the count is read off the
-    persisted fingerprint table (one cheap job that doubles as the cache
-    warm-up), never the raw input.
+    _SIMHASH_MULTI_INDEX_MIN_DOCS crossover; a bare-scan input is counted
+    directly (cheap column-less pass), a derived input counts the persisted
+    fingerprint table (one job that doubles as the cache warm-up) — never
+    an eager pass over a derived raw lineage.
 
-    NARROW-ROW blocking (same shape as minhash_lsh_pairs): the explode and
-    (chunk, cv) self-join carry only (id, chunk, cv); fingerprints join back
-    by id for the surviving candidates' exact Hamming check, off the same
-    persisted one-row-per-doc table."""
+    WIDE blocking on purpose (unlike minhash_lsh_pairs' narrow option): the
+    fingerprint is ONE long — 8 bytes riding the chunk explode and the
+    candidate rows, ~45 x 8 B/doc worst case. A narrow (id, chunk, cv) shape
+    would save those bytes but pay two extra by-id join-back shuffles for
+    the Hamming verify; the payload never dominates at any corpus size, so
+    wide is the right shape at 100 TB too (contrast: the 512-byte minhash
+    signature DOES dominate — that operator offers narrow=True)."""
     s = simhash(df, text_col, id_col)
-    # persisted: the count probe, both blocking sides, and both Hamming
-    # joins all read this one-row-per-doc table
-    s = s.persist()
+    cached: list[DataFrame] = []
     if agree_chunks is None:
-        agree_chunks = 2 if s.count() > _SIMHASH_MULTI_INDEX_MIN_DOCS else 1
+        n_docs = _cheap_count(df)
+        if n_docs is None:
+            s = s.persist()
+            cached.append(s)
+            n_docs = s.count()
+        agree_chunks = 2 if n_docs > _SIMHASH_MULTI_INDEX_MIN_DOCS else 1
     n_chunks = max(n_chunks or 0, max_hamming + agree_chunks)
     base, rem = divmod(64, n_chunks)
     widths = [base + 1 if c < rem else base for c in range(n_chunks)]
@@ -467,23 +539,21 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         ]
     else:
         raise ValueError("agree_chunks must be 1 or 2")
+    # one persisted exploded blocking feeds both self-join sides; the 8-byte
+    # fingerprint rides along, so the Hamming verify needs no join-backs
     chunked = s.select(
-        "id",
+        "id", "simhash",
         F.explode(F.array(*entries)).alias("ch"),
-    ).select("id", "ch.chunk", "ch.cv")
+    ).select("id", "simhash", "ch.chunk", "ch.cv").persist()
+    cached.append(chunked)
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                & (F.col("a.cv") == F.col("b.cv"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
         .dropDuplicates(["id_a", "id_b"])
-    )
-    cand = (
-        cand.join(s.select(F.col("id").alias("id_a"),
-                           F.col("simhash").alias("sh_a")), "id_a")
-        .join(s.select(F.col("id").alias("id_b"),
-                       F.col("simhash").alias("sh_b")), "id_b")
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     out = (
@@ -491,4 +561,4 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return release_on_gc(out, s)
+    return release_on_gc(out, *cached)

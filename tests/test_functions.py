@@ -128,22 +128,22 @@ def test_simhash_auto_selects_blocking_mode(spark, docs, monkeypatch):
     assert auto_large == explicit1   # mode switch never changes the answer
 
 
-def test_pair_blocking_shuffles_are_narrow_row(spark, docs):
-    """The band/chunk self-join exchanges must carry only (id, key) — not
-    the 64-long minhash signature or the simhash fingerprint. A wide
-    banding ships 16-45 copies of the payload per doc through the candidate
-    shuffle; payloads join back by id only for surviving candidates
-    (round-3 verdict item: the KB-scale vs sig-payload shuffle at 100 TB)."""
-    mh = minhash_lsh_pairs(docs, threshold=0.5)
+def test_minhash_narrow_shape_and_mode_equality(spark, docs):
+    """narrow=True (the 100 TB shape): the band self-join exchanges carry
+    only (id, band, bh) — never the 64-long signature, which joins back by
+    id only for surviving candidates (round-3 verdict item: KB-scale vs
+    sig-payload shuffle). And the two shapes are the same operator: wide
+    (small-corpus default) and narrow return identical pairs."""
+    mh = minhash_lsh_pairs(docs, threshold=0.5, narrow=True)
     plan = mh._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
         if "hashpartitioning(band" in line or "hashpartitioning(bh" in line:
             assert "sig" not in line, line
-    sh = simhash_near_pairs(docs, max_hamming=3)
-    plan = sh._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "hashpartitioning(chunk" in line or "hashpartitioning(cv" in line:
-            assert "simhash" not in line, line
+    rows = lambda df: {(r["id_a"], r["id_b"], r["est_jaccard"])  # noqa: E731
+                       for r in df.collect()}
+    assert rows(mh) == rows(minhash_lsh_pairs(docs, threshold=0.5, narrow=False))
+    # auto (None) picks one of the two — tiny corpus -> wide — same answer
+    assert rows(mh) == rows(minhash_lsh_pairs(docs, threshold=0.5))
 
 
 def test_jaccard_probe_goes_through_the_cache(spark):
@@ -165,9 +165,11 @@ def test_jaccard_probe_goes_through_the_cache(spark):
     assert set(tracker.getJobIdsForGroup(None) or []) == before, \
         "uncapped jaccard_pairs must not run eager jobs at build time"
     lazy.release_cached_inputs()
-    res = jaccard_pairs(derived, n=3, threshold=0.9)
-    # the probe's job(s) materialized the shingle-set cache: the eager work
-    # went through the persist, not around it
+    # a SHUFFLED lineage is where the cheap-scan shortcut must refuse to
+    # count the raw input; the probe then runs over the persisted shingle
+    # sets (doubling as cache warm-up), never re-executing the exchange
+    shuffled = derived.repartition(4)
+    res = jaccard_pairs(shuffled, n=3, threshold=0.9)
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     assert any(i.memSize() > 0 or i.diskSize() > 0 for i in infos), \
         "cap probe did not warm the persisted shingle sets"

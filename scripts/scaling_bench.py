@@ -101,14 +101,13 @@ def main() -> None:
                     help="number of interleaved (N, 4N) measurement pairs")
     args = ap.parse_args()
 
-    # materialize the input once, outside the timed runs
-    from openlogparse_spark.fixtures.transcripts import fixture_dir, write_fixtures
+    # materialize the input once, outside the timed runs (ensure_fixtures is
+    # FIXTURE_VERSION-aware: regenerates when the generator changed)
+    sys.path.insert(0, REPO)
+    from openlogparse_spark.fixtures.transcripts import ensure_fixtures
 
     for sf in (args.sf, 0.01):   # 0.01 = the child's warmup input
-        fx = fixture_dir(sf, base=os.path.join(REPO, "data", "bench"))
-        if not os.path.exists(os.path.join(fx, "transcripts.parquet")):
-            sys.path.insert(0, REPO)
-            write_fixtures(sf, base=os.path.join(REPO, "data", "bench"))
+        ensure_fixtures(sf, base=os.path.join(REPO, "data", "bench"))
 
     # INTERLEAVED pairs: the sandbox is a shared VM with time-varying host
     # load, and a 4-minute gap between the N and 4N measurements mixes host

@@ -299,7 +299,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     import pandas as pd
 
     spark = corpus.sparkSession
-    n = corpus.count()
+    if n_centroids is None:
+        # sqrt-N default needs the corpus size: cheap on a bare scan; on a
+        # derived lineage it would re-execute the upstream plan, so demand
+        # an explicit n_centroids there instead of paying a hidden pass
+        from openlogparse_spark.functions.dedup import _cheap_count
+
+        n = _cheap_count(corpus.select(id_col))
+        if n is None:
+            raise ValueError(
+                "ivf_topk: corpus is a derived plan — pass n_centroids "
+                "explicitly (the sqrt-N default would require an eager "
+                "count over the whole upstream lineage)")
     kc = n_centroids or max(4, int(n ** 0.5))
     cent_rows = (corpus
                  .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))

@@ -483,3 +483,18 @@ def test_dup_components_matches_union_find(spark):
     assert got == want
     assert got[9999] == 9999          # singleton kept, own component
     assert got[1060] == 1000          # chain fully collapsed
+
+
+def test_ivf_auto_centroids_bare_scan_only(spark):
+    """sqrt-N centroid default is computed from a cheap bare-scan count;
+    a derived corpus must demand explicit n_centroids instead of paying a
+    hidden eager pass over the upstream lineage."""
+    from openlogparse_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 2")
+    assert ivf_topk(emb, q, k=3, n_probe=4).count() > 0   # auto on a scan
+    derived = emb.unionByName(emb).repartition(4)
+    with pytest.raises(ValueError, match="n_centroids"):
+        ivf_topk(derived, q, k=3, n_probe=4)
+    assert ivf_topk(derived, q, k=3, n_centroids=8, n_probe=4).count() > 0

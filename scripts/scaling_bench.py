@@ -49,6 +49,13 @@ run_pipeline(spark, PipelineConfig(
     stages=('parse', 'enrich', 'route'), materialize_enriched=False))
 shutil.rmtree(out_root + '_warm', ignore_errors=True)
 shutil.rmtree(out_root, ignore_errors=True)
+
+def _cpu_jiffies():
+    with open('/proc/stat') as f:
+        v = f.readline().split()
+    return int(v[8]), sum(int(x) for x in v[1:])   # (steal, total)
+
+st0, tot0 = _cpu_jiffies()
 t0 = time.time()
 # the north-rule metric is end-to-end PARSE -> ENRICH -> ROUTE throughput
 # (all sink commits + manifest records inside the timed region); aggregates
@@ -62,9 +69,15 @@ cfg = PipelineConfig(input_path=os.path.join(fx, 'transcripts.parquet'),
                      materialize_enriched=False)
 res = run_pipeline(spark, cfg)
 wall = time.time() - t0
+st1, tot1 = _cpu_jiffies()
+# host CPU steal over the timed region: the hypervisor's share of this
+# guest's cpu time taken by neighbors — the one host-load signal visible
+# from inside the VM, reported so pairs can be screened for bursts
+steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1)
 n = spark.read.parquet(os.path.join(fx, 'transcripts.parquet')).count()
 print(json.dumps({{'cpus': n_exec, 'wall': wall, 'turns': n,
-                   'tps': n / wall, 'timings': res.timings}}))
+                   'tps': n / wall, 'steal_pct': steal_pct,
+                   'timings': res.timings}}))
 shutil.rmtree(out_root, ignore_errors=True)   # scratch cleanup (may be tmpfs)
 spark.stop()
 """
@@ -112,33 +125,50 @@ def main() -> None:
     # INTERLEAVED pairs: the sandbox is a shared VM with time-varying host
     # load, and a 4-minute gap between the N and 4N measurements mixes host
     # noise into the ratio. Measuring each (N, 4N) pair back-to-back and
-    # taking per-pair efficiency controls for it; report the median pair
-    # (headline) and every pair (full disclosure).
-    pairs = []
-    for i in range(args.runs):
-        lo = run_one(args.sf, args.n, f"pair{i}")
-        hi = run_one(args.sf, args.n * 4, f"pair{i}")
-        pairs.append({
+    # taking per-pair efficiency controls slow drift; per-leg CPU-steal%
+    # (from /proc/stat over the timed region) screens the bursts a pair can
+    # still straddle — a measured steal phase made an unchanged 4N leg run
+    # 50s -> 512s, i.e. a "0.06 efficiency" that was 100% neighbor load.
+    # Collect until `--runs` CLEAN pairs (both legs steal <= 2%) or 3x that
+    # many attempts; headline = median clean pair; every pair disclosed.
+    pairs, clean = [], []
+    attempt = 0
+    while len(clean) < args.runs and attempt < args.runs * 3:
+        lo = run_one(args.sf, args.n, f"pair{attempt}")
+        hi = run_one(args.sf, args.n * 4, f"pair{attempt}")
+        pair = {
             "tps_n": round(lo["tps"], 1), "wall_n": round(lo["wall"], 1),
             "tps_4n": round(hi["tps"], 1), "wall_4n": round(hi["wall"], 1),
+            "steal_n": lo.get("steal_pct", -1.0),
+            "steal_4n": hi.get("steal_pct", -1.0),
             "efficiency": round((hi["tps"] / lo["tps"]) / 4.0, 3),
-        })
-        sys.stderr.write(f"  pair{i}: efficiency={pairs[-1]['efficiency']}\n")
-    ranked = sorted(pairs, key=lambda p: p["efficiency"])
+        }
+        pair["clean"] = 0 <= pair["steal_n"] <= 2.0 and 0 <= pair["steal_4n"] <= 2.0
+        pairs.append(pair)
+        if pair["clean"]:
+            clean.append(pair)
+        sys.stderr.write(
+            f"  pair{attempt}: efficiency={pair['efficiency']} "
+            f"steal=({pair['steal_n']}%, {pair['steal_4n']}%) "
+            f"{'CLEAN' if pair['clean'] else 'BURST'}\n")
+        attempt += 1
+    basis = clean or pairs   # no clean pair in budget: fall back, disclosed
+    ranked = sorted(basis, key=lambda p: p["efficiency"])
     med = ranked[len(ranked) // 2] if len(ranked) % 2 else ranked[len(ranked) // 2 - 1]
     result = {
         "sf": args.sf, "turns": lo["turns"],
         "n_executors": args.n, "tps_n": med["tps_n"], "wall_n": med["wall_n"],
         "n4_executors": args.n * 4, "tps_4n": med["tps_4n"], "wall_4n": med["wall_4n"],
         "scaling_efficiency": med["efficiency"],
-        "pairs": pairs,
+        "clean_pairs": len(clean), "pairs": pairs,
     }
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     pair_rows = "\n".join(
         f"| pair {i} | {p['wall_n']} | {p['tps_n']:,} | {p['wall_4n']} | "
-        f"{p['tps_4n']:,} | {p['efficiency']} |"
+        f"{p['tps_4n']:,} | {p['steal_n']}% / {p['steal_4n']}% | "
+        f"{p['efficiency']}{'' if p['clean'] else ' (burst — excluded)'} |"
         for i, p in enumerate(pairs))
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (north rule)
@@ -149,14 +179,17 @@ including all sink commits + manifest records), same input
 two executor counts (local-cluster: one JVM per executor, 2 cores / 16 GB
 each, socket shuffle — an N-node cluster co-hosted).
 
-Protocol: {args.runs} interleaved (N, 4N) pairs, each pair run back-to-back
-so the ratio is taken under the same host conditions (the sandbox is a
-shared VM with time-varying neighbor load; measured run-to-run spread is
-±15% which a paired design cancels from the ratio). Headline = the MEDIAN
-pair; every pair disclosed below.
+Protocol: interleaved (N, 4N) pairs, each pair run back-to-back so the
+ratio is taken under the same host conditions (the sandbox is a shared VM
+with time-varying neighbor load), PLUS per-leg CPU-steal% measured from
+/proc/stat over the timed region: a pair whose either leg saw > 2% steal
+is disclosed but excluded (a measured burst made an unchanged 4N leg run
+50 s -> 512 s — "efficiency 0.06" that was pure neighbor load). Collection
+continues until {args.runs} clean pairs (bounded at 3x attempts).
+Headline = the MEDIAN clean pair; every pair disclosed below.
 
-| pair | wall N (s) | tps N | wall 4N (s) | tps 4N | efficiency |
-|---|---|---|---|---|---|
+| pair | wall N (s) | tps N | wall 4N (s) | tps 4N | steal N/4N | efficiency |
+|---|---|---|---|---|---|---|
 {pair_rows}
 
 Median pair (N = local-cluster[{args.n},2,16384], 4N = local-cluster[{args.n * 4},2,16384]):
@@ -175,6 +208,9 @@ file-committer v2, sinks on RAM-backed scratch (all co-hosted executors
 share one physical disk here; a real cluster's sink bandwidth scales with
 its nodes — the RAM-backed target restores that property for both levels
 equally). Raw JSON: `{json.dumps(result)}`
+
+Additional evidence (sf8.0 secondary, same-window code A/Bs, cross-round
+reconciliations, sandbox measurement hazards): `BENCH/NOTES.md`.
 """)
     print("wrote BENCH/BASELINE.md")
 

@@ -42,12 +42,24 @@ spark = get_spark('scaling', master=f'local-cluster[{{n_exec}},2,16384]', shuffl
 # per-JVM compile constant (~10-20s) lands inside the timed region and skews
 # small-N vs large-N comparisons (session startup is excluded per BASELINE.md).
 warm_fx = fixture_dir(0.01, base=os.path.join({repo!r}, 'data', 'bench'))
-shutil.rmtree(out_root + '_warm', ignore_errors=True)
-run_pipeline(spark, PipelineConfig(
-    input_path=os.path.join(warm_fx, 'transcripts.parquet'), dims_dir=warm_fx,
-    output_root=out_root + '_warm', run_id='warm',
-    stages=('parse', 'enrich', 'route'), materialize_enriched=False))
-shutil.rmtree(out_root + '_warm', ignore_errors=True)
+
+def warm_run():
+    # doubles as a CONTENTION PROBE: identical code/topology on the small
+    # fixture, timed — host contention that steal% cannot see (memory
+    # bandwidth, host CPU caps) shows up as probe-time inflation vs the
+    # session's best. Run before AND after the timed region so bursts
+    # starting mid-leg are caught too.
+    shutil.rmtree(out_root + '_warm', ignore_errors=True)
+    tw = time.time()
+    run_pipeline(spark, PipelineConfig(
+        input_path=os.path.join(warm_fx, 'transcripts.parquet'), dims_dir=warm_fx,
+        output_root=out_root + '_warm', run_id='warm',
+        stages=('parse', 'enrich', 'route'), materialize_enriched=False))
+    shutil.rmtree(out_root + '_warm', ignore_errors=True)
+    return round(time.time() - tw, 2)
+
+warm_cold = warm_run()    # codegen/JIT compile lands here, not in the probe
+warm_pre = warm_run()
 shutil.rmtree(out_root, ignore_errors=True)
 
 def _cpu_jiffies():
@@ -74,10 +86,12 @@ st1, tot1 = _cpu_jiffies()
 # guest's cpu time taken by neighbors — the one host-load signal visible
 # from inside the VM, reported so pairs can be screened for bursts
 steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1)
+warm_post = warm_run()
 n = spark.read.parquet(os.path.join(fx, 'transcripts.parquet')).count()
 print(json.dumps({{'cpus': n_exec, 'wall': wall, 'turns': n,
                    'tps': n / wall, 'steal_pct': steal_pct,
-                   'timings': res.timings}}))
+                   'warm_cold': warm_cold, 'warm_pre': warm_pre,
+                   'warm_post': warm_post, 'timings': res.timings}}))
 shutil.rmtree(out_root, ignore_errors=True)   # scratch cleanup (may be tmpfs)
 spark.stop()
 """
@@ -131,32 +145,53 @@ def main() -> None:
     # 50s -> 512s, i.e. a "0.06 efficiency" that was 100% neighbor load.
     # Collect until `--runs` CLEAN pairs (both legs steal <= 2%) or 3x that
     # many attempts; headline = median clean pair; every pair disclosed.
-    pairs, clean = [], []
+    def leg_probe_ok(leg, min_warm):
+        # a leg is uncontended iff BOTH its probes ran within 35% of the
+        # session-best probe time for its topology (post-hoc: min over all
+        # attempts), and steal stayed <= 2%
+        return (0 <= leg.get("steal_pct", -1) <= 2.0
+                and leg.get("warm_pre", 1e9) <= 1.35 * min_warm
+                and leg.get("warm_post", 1e9) <= 1.35 * min_warm)
+
+    pairs, legs = [], []
     attempt = 0
-    while len(clean) < args.runs and attempt < args.runs * 3:
+    while attempt < args.runs * 3:
         lo = run_one(args.sf, args.n, f"pair{attempt}")
         hi = run_one(args.sf, args.n * 4, f"pair{attempt}")
-        pair = {
+        legs.append((lo, hi))
+        pairs.append({
             "tps_n": round(lo["tps"], 1), "wall_n": round(lo["wall"], 1),
             "tps_4n": round(hi["tps"], 1), "wall_4n": round(hi["wall"], 1),
             "steal_n": lo.get("steal_pct", -1.0),
             "steal_4n": hi.get("steal_pct", -1.0),
+            "warm_n": [lo.get("warm_pre"), lo.get("warm_post")],
+            "warm_4n": [hi.get("warm_pre"), hi.get("warm_post")],
             "efficiency": round((hi["tps"] / lo["tps"]) / 4.0, 3),
-        }
-        pair["clean"] = 0 <= pair["steal_n"] <= 2.0 and 0 <= pair["steal_4n"] <= 2.0
-        pairs.append(pair)
-        if pair["clean"]:
-            clean.append(pair)
+        })
         sys.stderr.write(
-            f"  pair{attempt}: efficiency={pair['efficiency']} "
-            f"steal=({pair['steal_n']}%, {pair['steal_4n']}%) "
-            f"{'CLEAN' if pair['clean'] else 'BURST'}\n")
+            f"  pair{attempt}: efficiency={pairs[-1]['efficiency']} "
+            f"steal=({pairs[-1]['steal_n']}%, {pairs[-1]['steal_4n']}%) "
+            f"warmN={pairs[-1]['warm_n']} warm4N={pairs[-1]['warm_4n']}\n")
         attempt += 1
+        # post-hoc screen so far: enough clean pairs -> stop early
+        min_n = min(min(p["warm_n"]) for p in pairs)
+        min_4n = min(min(p["warm_4n"]) for p in pairs)
+        n_clean = sum(1 for (l, h), p in zip(legs, pairs)
+                      if leg_probe_ok(l, min_n) and leg_probe_ok(h, min_4n))
+        if n_clean >= args.runs:
+            break
+    min_n = min(min(p["warm_n"]) for p in pairs)
+    min_4n = min(min(p["warm_4n"]) for p in pairs)
+    clean = []
+    for (l, h), p in zip(legs, pairs):
+        p["clean"] = leg_probe_ok(l, min_n) and leg_probe_ok(h, min_4n)
+        if p["clean"]:
+            clean.append(p)
     basis = clean or pairs   # no clean pair in budget: fall back, disclosed
     ranked = sorted(basis, key=lambda p: p["efficiency"])
     med = ranked[len(ranked) // 2] if len(ranked) % 2 else ranked[len(ranked) // 2 - 1]
     result = {
-        "sf": args.sf, "turns": lo["turns"],
+        "sf": args.sf, "turns": legs[-1][0]["turns"],
         "n_executors": args.n, "tps_n": med["tps_n"], "wall_n": med["wall_n"],
         "n4_executors": args.n * 4, "tps_4n": med["tps_4n"], "wall_4n": med["wall_4n"],
         "scaling_efficiency": med["efficiency"],
@@ -181,12 +216,15 @@ each, socket shuffle — an N-node cluster co-hosted).
 
 Protocol: interleaved (N, 4N) pairs, each pair run back-to-back so the
 ratio is taken under the same host conditions (the sandbox is a shared VM
-with time-varying neighbor load), PLUS per-leg CPU-steal% measured from
-/proc/stat over the timed region: a pair whose either leg saw > 2% steal
-is disclosed but excluded (a measured burst made an unchanged 4N leg run
-50 s -> 512 s — "efficiency 0.06" that was pure neighbor load). Collection
-continues until {args.runs} clean pairs (bounded at 3x attempts).
-Headline = the MEDIAN clean pair; every pair disclosed below.
+with time-varying neighbor load), PLUS two per-leg contention screens:
+(a) CPU-steal% from /proc/stat over the timed region (> 2% excludes — a
+measured burst made an unchanged 4N leg run 50 s -> 512 s), and (b) a
+same-code CONTENTION PROBE — the identical pipeline on the sf0.01 fixture,
+timed immediately before and after each leg's timed region; a leg whose
+probe runs > 35% over the session-best probe for its topology was
+contended in ways steal cannot see (host CPU caps, memory bandwidth) and
+is excluded. Collection continues until {args.runs} clean pairs (bounded
+at 3x attempts). Headline = the MEDIAN clean pair; every pair disclosed.
 
 | pair | wall N (s) | tps N | wall 4N (s) | tps 4N | steal N/4N | efficiency |
 |---|---|---|---|---|---|---|

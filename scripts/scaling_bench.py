@@ -194,10 +194,12 @@ def main() -> None:
     # only SLOW a leg, never speed it), so the fastest N leg and fastest 4N
     # leg across the session are each the best available estimate of the
     # leg's uncontended time — their ratio estimates true scaling capability
-    # even when every individual pair straddled some mid-leg burst. Median
-    # pair stays the conservative headline; both are disclosed.
-    best_n = max(p["tps_n"] for p in basis)
-    best_4n = max(p["tps_4n"] for p in basis)
+    # even when every individual pair straddled some mid-leg burst. Over ALL
+    # pairs, not just probe-clean ones: a fast leg is valid evidence
+    # regardless of its sibling's or probes' contention (the probes only
+    # certify a whole PAIR). Median pair stays the conservative headline.
+    best_n = max(p["tps_n"] for p in pairs)
+    best_4n = max(p["tps_4n"] for p in pairs)
     result = {
         "sf": args.sf, "turns": legs[-1][0]["turns"],
         "n_executors": args.n, "tps_n": med["tps_n"], "wall_n": med["wall_n"],

@@ -896,6 +896,11 @@ def _t_params_typed(spark, sf_dir):
         # interval->numeric (total seconds) and timestamp+interval arithmetic
         F.sum(F.col("p.lag").cast("bigint")).alias("sum_lag_secs"),
         F.max(F.col("p.at") + F.col("p.lag")).alias("max_eta"),
+        # YEAR TO MONTH interval decode (INTERVAL_YTM, Format.h:47-54): the
+        # ddl ret=Y-M param is a real YearMonthIntervalType column; cast to
+        # int = total months (DuckDB recomputes arithmetically — it cannot
+        # parse 'Y-M' interval strings)
+        F.max(F.col("p.ret").cast("int")).alias("max_ret_months"),
     )
 
 
@@ -909,7 +914,9 @@ SELECT template_id, COUNT(*) AS n_turns,
   MAX(TRY_CAST(NULLIF(regexp_extract(text, '(^| )at=([^ ]+)', 2), '') AS TIMESTAMP)) AS max_at,
   SUM(CAST(epoch(TRY_CAST(NULLIF(regexp_extract(text, '(^| )lag=([^ ]+)', 2), '') AS INTERVAL)) AS BIGINT)) AS sum_lag_secs,
   MAX(TRY_CAST(NULLIF(regexp_extract(text, '(^| )at=([^ ]+)', 2), '') AS TIMESTAMP)
-      + TRY_CAST(NULLIF(regexp_extract(text, '(^| )lag=([^ ]+)', 2), '') AS INTERVAL)) AS max_eta
+      + TRY_CAST(NULLIF(regexp_extract(text, '(^| )lag=([^ ]+)', 2), '') AS INTERVAL)) AS max_eta,
+  MAX(12 * TRY_CAST(split_part(NULLIF(regexp_extract(text, '(^| )ret=([^ ]+)', 2), ''), '-', 1) AS INT)
+      + TRY_CAST(split_part(NULLIF(regexp_extract(text, '(^| )ret=([^ ]+)', 2), ''), '-', 2) AS INT)) AS max_ret_months
 FROM parsed WHERE parse_ok GROUP BY template_id
 """
 

@@ -33,7 +33,7 @@ SEED = 42
 # on-disk fixtures from an older generator are silently wrong for DuckDB
 # oracles that recompute from the same parquet, so ensure_fixtures()
 # regenerates on mismatch
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 EPOCH_2026 = pd.Timestamp("2026-01-01", tz=None).value // 10**9  # UTC seconds
 
 TOOLS = [
@@ -122,6 +122,11 @@ def _gen_params(rng: np.random.Generator, name: str, n: int) -> list[str]:
         # ISO-8601 'T' form: single token (no spaces), survives k=v masking
         secs = EPOCH_2026 + rng.integers(0, 96 * 3600, n)
         return [np.datetime_as_string(np.datetime64(int(v), "s")) for v in secs]
+    if name == "ret":
+        # ANSI YEAR TO MONTH interval string 'Y-M': single token; Spark
+        # casts it to YearMonthIntervalType (DuckDB oracles recompute months)
+        months = rng.integers(0, 61, n)
+        return [f"{v // 12}-{v % 12}" for v in months]
     if name == "lag":
         # ANSI HOUR TO SECOND interval string: single token, castable to
         # INTERVAL by both Spark and DuckDB (interval-typed decode parity)

@@ -87,7 +87,8 @@ TEMPLATES: tuple[Template, ...] = (
     Template("insert", "insert", "INSERT obj={obj} rows={n}", ("obj", "n")),
     Template("update", "update", "UPDATE obj={obj} rows={n}", ("obj", "n")),
     Template("delete", "delete", "DELETE obj={obj} rows={n}", ("obj", "n")),
-    Template("ddl", "ddl", "DDL stmt={ddltype} obj={obj}", ("ddltype", "obj")),
+    Template("ddl", "ddl", "DDL stmt={ddltype} obj={obj} ret={ret}",
+             ("ddltype", "obj", "ret")),
     Template("chkpt", "chkpt", "CHECKPOINT scn={scn} idx={i} at={at} lag={lag}",
              ("scn", "i", "at", "lag")),
     Template("read", "read", "READ file={path} bytes={n}", ("path", "n"), gen_role="tool"),
@@ -138,6 +139,10 @@ PARAM_TYPES: dict[str, str] = {
     # ANSI day-time interval — 'H:MM:SS' is the HOUR TO SECOND string form
     # both Spark CAST and DuckDB CAST(... AS INTERVAL) parse identically
     "lag": "interval hour to second",
+    # the YEAR TO MONTH sibling (INTERVAL_YTM): ddl retention as ANSI 'Y-M'.
+    # DuckDB cannot parse 'Y-M' strings, so its oracle recomputes months
+    # arithmetically; Spark-side this is a real YearMonthIntervalType column
+    "ret": "interval year to month",
 }
 
 # templates whose turns carry a non-null `tool` column

@@ -68,6 +68,8 @@ def test_typed_params_decode(spark):
         (1, 3, "assistant", "INSERT obj=t2 rows=notanumber", None, "2026-01-01 00:00:03"),
         (1, 4, "assistant", "CHECKPOINT scn=9 idx=1 at=2026-02-01T10:30:05 lag=1:02:03",
          None, "2026-01-01 00:00:04"),
+        (1, 5, "assistant", "DDL stmt=CREATE obj=t9 ret=2-3",
+         None, "2026-01-01 00:00:05"),
     ]
     df = spark.createDataFrame(
         rows, "conv_id long, turn_idx long, role string, text string, tool string, ts string"
@@ -86,6 +88,10 @@ def test_typed_params_decode(spark):
     # a real DayTimeIntervalType value, not a bigint-of-seconds
     assert by_idx[4]["lag"] == _dt.timedelta(hours=1, minutes=2, seconds=3)
     assert by_idx[0]["lag"] is None
+    # YEAR TO MONTH sibling (INTERVAL_YTM): 'Y-M' decodes to a real
+    # YearMonthIntervalType (27 months), not a string
+    assert by_idx[5]["ret"] == 27
+    assert by_idx[4]["ret"] is None
 
 
 def test_json_format_knobs(parsed):

@@ -41,10 +41,14 @@ ISOLATED_QUERIES = ["jaccard_pairs", "minhash_lsh_pairs", "simhash_near_pairs",
                     "ann_lsh_topk"]
 
 
-def run_isolated(queries: list[str]) -> dict[str, float]:
+def run_isolated(queries: list[str]) -> tuple[dict[str, float], dict[str, str]]:
+    """Returns (timings, errors). A failed query lands in `errors`, NEVER as
+    a sentinel in the timings map — a -1.0 there reads as a (negative)
+    latency to anything aggregating the dict (ADVICE r4)."""
     import subprocess
 
     out: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in queries:
         try:
             p = subprocess.run(
@@ -57,9 +61,9 @@ def run_isolated(queries: list[str]) -> dict[str, float]:
             res = json.loads(p.stdout.strip().splitlines()[-1])
             out[name] = res[name]["best"]
         except Exception as e:  # noqa: BLE001 — isolated lane is advisory
-            out[name] = -1.0
+            errors[name] = str(e)[:200]
             print(f"isolated {name} failed: {e}", file=sys.stderr)
-    return out
+    return out, errors
 
 
 def sf_of(sf_dir: str) -> float:
@@ -98,8 +102,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--isolated":
         # fresh-session per-query lane only: bench.py --isolated [q ...]
         names = sys.argv[2:] or ISOLATED_QUERIES
-        print(json.dumps({"isolated": run_isolated(names), "sf": sf_of(SF_DIR),
-                          "cpus": int(CPUS)}))
+        iso, iso_err = run_isolated(names)
+        out = {"isolated": iso, "sf": sf_of(SF_DIR), "cpus": int(CPUS)}
+        if iso_err:
+            out["isolated_errors"] = iso_err
+        print(json.dumps(out))
         return
 
     import __spark_entry__ as entry_mod
@@ -136,15 +143,18 @@ def main() -> None:
     from openlogparse_spark.streaming import stream_hourly_counts, stream_parse_enrich
     from openlogparse_spark.streaming.jobs import stream_source
 
-    t0 = time.time()
     batch = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
     # pin the mined table as a LITERAL relation: a stream-static join re-runs
     # its static side's plan every micro-batch, so an un-collected mining
-    # subtree would re-mine the whole corpus per trigger
+    # subtree would re-mine the whole corpus per trigger.
+    # The one-time mining pass is timed SEPARATELY (streaming_mine_templates)
+    # so streaming_e2e measures the drain rate alone — see BENCH/NOTES.md r5
+    # for the lane-definition change vs r3/r4 (which folded mining in).
+    t0 = time.time()
     templates = spark.createDataFrame(
         mine_template_table(merge_row_pieces(batch)).collect())
-    ck = os.path.join(REPO, "data", "bench", "stream_ck")
-    _shutil.rmtree(ck, ignore_errors=True)
+    timings["streaming_mine_templates"] = round(time.time() - t0, 3)
+    total += timings["streaming_mine_templates"]
     # file stream sources take a DIRECTORY; expose the (file or dir) fixture
     # through a scratch dir of symlinks
     sdir = os.path.join(REPO, "data", "bench", "stream_in")
@@ -157,16 +167,27 @@ def main() -> None:
                 os.symlink(os.path.join(src, f), os.path.join(sdir, f))
     else:
         os.symlink(src, os.path.join(sdir, "part-0.parquet"))
-    stream = stream_source(spark, sdir)
-    parsed = stream_parse_enrich(
-        stream, templates,
-        spark.read.parquet(os.path.join(fx_dir, "dim_tools.parquet")))
-    q = (stream_hourly_counts(parsed.filter("parse_ok"))
-         .writeStream.outputMode("append").format("noop")
-         .option("checkpointLocation", ck).start())
-    q.processAllAvailable()
-    q.stop()
-    dt = time.time() - t0
+    dim_tools = spark.read.parquet(os.path.join(fx_dir, "dim_tools.parquet"))
+
+    def run_stream_once() -> float:
+        ck = os.path.join(REPO, "data", "bench", "stream_ck")
+        _shutil.rmtree(ck, ignore_errors=True)
+        t0 = time.time()
+        stream = stream_source(spark, sdir)
+        parsed = stream_parse_enrich(stream, templates, dim_tools)
+        q = (stream_hourly_counts(parsed.filter("parse_ok"))
+             .writeStream.outputMode("append").format("noop")
+             .option("checkpointLocation", ck).start())
+        q.processAllAvailable()
+        q.stop()
+        return time.time() - t0
+
+    # warm untimed + best-of-3: r4's official 15.46s (vs r3's 9.01) was a
+    # cold-compile/noise artifact of timing the very first streaming start —
+    # the lane now discards the compile run and takes the best of 3 timed
+    # runs (each with a fresh checkpoint, so every run does the same work)
+    run_stream_once()
+    dt = min(run_stream_once() for _ in range(3))
     timings["streaming_e2e"] = round(dt, 3)
     streaming_tps = round(n_turns / dt, 1)
     total += dt
@@ -174,17 +195,21 @@ def main() -> None:
     # 1c) parse-stage mode comparison: Catalyst mask (sql) vs the pandas
     # Drain tree (SURVEY §4 custom piece #1) on the same transcripts —
     # quantifies the Arrow-stage overhead the drain mode pays for handling
-    # non-k=v logs. Best of 2, full fit+apply each time.
+    # non-k=v logs. Warm untimed + best-of-3, full fit+apply each timed run:
+    # best-of-2-including-compile recorded r4's false parse_sql regression
+    # (official 6.04s vs 2.2-3.0s steady-state) — run 1 is codegen compile
+    # and run 2 can land in a host noise spike.
     from openlogparse_spark.parse import parse_stage
 
     raw = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
     for mode in ("sql", "drain"):
-        best = None
-        for _ in range(2):
+        def run_parse_once() -> float:
             t0 = time.time()
             parse_stage(raw, mode=mode).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            return time.time() - t0
+
+        run_parse_once()   # compile/JIT warmup, untimed
+        best = min(run_parse_once() for _ in range(3))
         timings[f"parse_{mode}"] = round(best, 3)
         total += best
 
@@ -208,9 +233,9 @@ def main() -> None:
 
     # 3) isolated lane: flagged operators re-run in fresh sessions (one
     # subprocess each). Not part of `value` — a second, unambiguous signal.
-    isolated = run_isolated(ISOLATED_QUERIES)
+    isolated, isolated_errors = run_isolated(ISOLATED_QUERIES)
 
-    print(json.dumps({
+    out = {
         "metric": "pipeline e2e + operator suite wall time",
         "value": round(total, 2),
         "unit": "sec",
@@ -221,7 +246,10 @@ def main() -> None:
         "turns_per_sec": turns_per_sec,
         "streaming_turns_per_sec": streaming_tps,
         "cpus": int(CPUS),
-    }))
+    }
+    if isolated_errors:
+        out["isolated_errors"] = isolated_errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

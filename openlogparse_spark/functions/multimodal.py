@@ -7,8 +7,12 @@ an import probe: with Pillow installed they decode/resize real pixels; in
 this container (no PIL/ffmpeg) they fall back to clearly-marked deterministic
 fakes — everything Spark-side (schema, batching, partition sizing, UDF
 signatures) is identical and tested on both paths, so a deployment gets
-working kernels with zero code edits. Audio/video decode stays stubbed
-(would need ffmpeg/torchaudio).
+working kernels with zero code edits. The AUDIO kernel is real everywhere:
+stdlib `wave` decodes PCM WAV payloads into genuine signal features
+(rms/peak/zero-crossings/duration), with undecodable payloads quarantined to
+NULL exactly like corrupt images — only compressed codecs (mp3/ogg) would
+need an external lib, and they'd slot into the same probe. Video decode
+stays stubbed (needs ffmpeg).
 
 Scale notes: binary payloads dominate row size — `spark.sql.files.
 maxPartitionBytes` should be sized so one partition's payloads fit the Arrow
@@ -64,7 +68,9 @@ def _pil_image_features(payload: bytes) -> list[float] | None:
     import io
 
     try:
-        img = _PILImage.open(io.BytesIO(payload)).convert("RGB").resize((16, 16))
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        w, h = img.size        # ORIGINAL dims — after resize they'd be 16/16
+        img = img.resize((16, 16))
     except Exception:  # noqa: BLE001 — any decode failure quarantines the row
         return None
     px = list(img.getdata())
@@ -72,24 +78,91 @@ def _pil_image_features(payload: bytes) -> list[float] | None:
     means = [sum(p[c] for p in px) / n / 255.0 for c in range(3)]
     stds = [(sum((p[c] / 255.0 - means[c]) ** 2 for p in px) / n) ** 0.5
             for c in range(3)]
-    w, h = img.size
     return (means + stds + [w / 4096.0, h / 4096.0])[:_STUB_DIM]
+
+
+def _wave_audio_features(payload: bytes) -> list[float] | None:
+    """REAL audio kernel (stdlib `wave`, round-4 stretch #9): decode PCM WAV,
+    compute model-free signal features — channels, sample rate, duration,
+    RMS, peak, zero-crossing rate, DC offset, length — normalized into the
+    same _STUB_DIM arity as the other kernels. Returns None (quarantine) on
+    anything that is not 8/16-bit PCM WAV."""
+    import array
+    import io
+    import math
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, sw = w.getnchannels(), w.getsampwidth()
+            rate, nframes = w.getframerate(), w.getnframes()
+            raw = w.readframes(nframes)
+    except Exception:  # noqa: BLE001 — any decode failure quarantines the row
+        return None
+    if sw == 2:
+        samples = array.array("h")
+        samples.frombytes(raw[: len(raw) // 2 * 2])
+        xs = [s / 32768.0 for s in samples]
+    elif sw == 1:  # 8-bit WAV is unsigned
+        xs = [(b - 128) / 128.0 for b in raw]
+    else:
+        return None
+    if not xs or not rate:
+        return None
+    n = len(xs)
+    mean = sum(xs) / n
+    rms = math.sqrt(sum(x * x for x in xs) / n)
+    peak = max(abs(x) for x in xs)
+    zcr = sum(1 for a, b in zip(xs, xs[1:]) if (a < 0.0) != (b < 0.0)) / max(n - 1, 1)
+    dur_s = nframes / rate
+    return [min(nch / 8.0, 1.0), min(rate / 48000.0, 1.0), min(dur_s / 60.0, 1.0),
+            rms, peak, zcr, (mean + 1.0) / 2.0, min(n / 1e6, 1.0)][:_STUB_DIM]
 
 
 def _decode_features(payload: bytes, kind: str) -> list[float] | None:
     if kind == "image" and HAS_PIL:
         return _pil_image_features(payload)
+    if kind == "audio":
+        return _wave_audio_features(payload)
     return _stub_decode_features(payload, kind)
 
 
+def synthetic_wav(i: int, rate: int = 8000, ms: int = 100) -> bytes:
+    """A real (tiny) PCM WAV payload: one deterministic sine tone whose
+    frequency varies with `i` — lets tests drive the real audio kernel
+    end-to-end with zero external files."""
+    import array
+    import io
+    import math
+    import wave
+
+    freq = 220.0 + 20.0 * (i % 32)
+    nsamp = rate * ms // 1000
+    samp = array.array("h", (int(12000 * math.sin(2 * math.pi * freq * t / rate))
+                             for t in range(nsamp)))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samp.tobytes())
+    return buf.getvalue()
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic fake media table. Audio rows carry REAL WAV payloads
+    (the audio kernel is real, so its fixtures are too); image/video rows
+    carry seeded opaque bytes."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
-        meta = {"mime": f"{kind}/x-fake", "width": 64 + i, "height": 48 + i,
-                "duration_ms": 1000 * (i % 7)}
+        if kind == "audio":
+            payload = synthetic_wav(i)
+        else:
+            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
+        meta = {"mime": "audio/wav" if kind == "audio" else f"{kind}/x-fake",
+                "width": 64 + i, "height": 48 + i,
+                "duration_ms": 100 if kind == "audio" else 1000 * (i % 7)}
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+import warnings
 import uuid
 
 import pandas as pd
@@ -137,6 +138,12 @@ class Manifest:
             try:
                 frames.append(pd.read_parquet(f))
             except FileNotFoundError:
+                continue
+            except Exception:
+                # unreadable file (foreign half-write; our own writes are
+                # rename-atomic). compact() skips these too — if load() did
+                # not, one such file would poison every status read forever.
+                warnings.warn(f"manifest: skipping unreadable file {f}")
                 continue
         if not frames:
             return pd.DataFrame(columns=MANIFEST_COLS)

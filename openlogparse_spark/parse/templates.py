@@ -141,7 +141,10 @@ PARAM_TYPES: dict[str, str] = {
     "lag": "interval hour to second",
     # the YEAR TO MONTH sibling (INTERVAL_YTM): ddl retention as ANSI 'Y-M'.
     # DuckDB cannot parse 'Y-M' strings, so its oracle recomputes months
-    # arithmetically; Spark-side this is a real YearMonthIntervalType column
+    # arithmetically; Spark-side this is a real YearMonthIntervalType column.
+    # CAUTION: PySpark 4.1.2's client-side YearMonthIntervalType.fromInternal
+    # is NOT_IMPLEMENTED — .collect()/.show() of the raw column crashes.
+    # Cast before collect: F.col("p.ret").cast("int") yields total months.
     "ret": "interval year to month",
 }
 

@@ -425,6 +425,57 @@ def test_multimodal_resize_plumbing(spark):
     assert {bytes(r["payload"]) for r in out} == {bytes(r["payload"]) for r in again}
 
 
+def test_multimodal_real_audio_kernel(spark):
+    """The audio kernel is REAL in this container (stdlib wave): a
+    deterministic sine WAV decodes to genuine signal features — RMS of a
+    full-scale*12000/32768 sine is amp/sqrt(2), ZCR tracks the tone
+    frequency — and a non-WAV payload quarantines to NULL like a corrupt
+    image (round-4 stretch #9)."""
+    import math
+
+    from openlogparse_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        synthetic_wav,
+    )
+
+    wav = synthetic_wav(0)                      # 220 Hz, 100 ms @ 8 kHz
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav),
+          {"mime": "audio/wav", "width": 0, "height": 0, "duration_ms": 100}),
+         (2, "audio", bytearray(b"not a wav at all"),
+          {"mime": "audio/wav", "width": 0, "height": 0, "duration_ms": 0})],
+        schema=MEDIA_SCHEMA)
+    by_id = {r["media_id"]: r["feat"] for r in extract_features(media).collect()}
+    feat = by_id[1]
+    assert feat is not None
+    amp = 12000 / 32768.0
+    assert feat[3] == pytest.approx(amp / math.sqrt(2), rel=0.01)   # rms
+    assert feat[4] == pytest.approx(amp, rel=0.01)                  # peak
+    # a 220 Hz tone crosses zero 2*220 times/s -> zcr ~ 440/8000
+    assert feat[5] == pytest.approx(2 * 220 / 8000, rel=0.05)
+    assert feat[2] == pytest.approx(0.1 / 60, rel=0.01)             # duration
+    assert by_id[2] is None                     # quarantine, not abort
+    # synthetic_media's audio rows ride the same real kernel
+    feats = extract_features(synthetic_media(spark, n=12)).collect()
+    assert all(r["feat"] is not None for r in feats if r["kind"] == "audio")
+
+
+def test_simhash_pack_variants_are_bit_identical(spark):
+    """pack=2/4 rearrange the vote aggregation into fewer, packed buffers
+    (the codegen-size mitigation for the slow-JIT sessions, round-4 verdict
+    #2) — the resulting 64-bit signatures must be IDENTICAL to stock pack=1
+    on real fixture text."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    base = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert base
+    for p in (2, 4):
+        got = {r["id"]: r["simhash"] for r in simhash(docs, pack=p).collect()}
+        assert got == base, f"pack={p} diverged"
+    with pytest.raises(ValueError, match="pack"):
+        simhash(docs, pack=3)
+
+
 def test_winnow_fingerprint_is_edit_local(spark):
     """Winnowing property: a single local edit changes only a few selected
     fingerprints (unlike whole-doc md5, which changes completely)."""
@@ -498,3 +549,47 @@ def test_ivf_auto_centroids_bare_scan_only(spark):
     with pytest.raises(ValueError, match="n_centroids"):
         ivf_topk(derived, q, k=3, n_probe=4)
     assert ivf_topk(derived, q, k=3, n_centroids=8, n_probe=4).count() > 0
+    # n_centroids=0 must be a clear contract error, not a NameError from the
+    # `or`-fallback evaluating an unassigned sqrt-N (ADVICE r4)
+    with pytest.raises(ValueError, match="n_centroids"):
+        ivf_topk(emb, q, k=3, n_centroids=0, n_probe=4)
+
+
+def test_ivf_candidate_exchanges_are_vector_free(spark):
+    """Narrow-first candidate plan (round-4 verdict #3): the candidate
+    dedupe exchange — hashpartitioning on (query_id, id) — must NOT carry
+    the embedding payload. The old plan joined vectors onto corpus_cells
+    BEFORE the cell filter, so every pre-dedup candidate row shuffled its
+    vector; at 100x scale that is an O(corpus) vector shuffle for an
+    O(candidates) result. Vectors may ride only the final join-back by id
+    (the lsh_cosine_topk shape)."""
+    from openlogparse_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 2")
+    plan = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "hashpartitioning(query_id" in line:
+            assert "vec" not in line, line
+
+
+def test_cosine_near_pairs_auto_sizing_bare_scan_only(spark):
+    """cosine_near_pairs(method='lsh') auto n_planes uses a cheap bare-scan
+    count only; a derived input must demand explicit n_planes instead of
+    silently executing the upstream lineage (same contract as ivf_topk's
+    n_centroids — round-4 verdict #4). Build-time laziness is pinned with
+    the job tracker: the explicit-n_planes path runs ZERO eager jobs."""
+    from openlogparse_spark.functions.similarity import cosine_near_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    derived = emb.unionByName(emb).repartition(4)
+    with pytest.raises(ValueError, match="n_planes"):
+        cosine_near_pairs(derived, threshold=0.5, method="lsh")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    res = cosine_near_pairs(derived, threshold=0.5, method="lsh", n_planes=4)
+    assert set(tracker.getJobIdsForGroup(None) or []) == before, \
+        "explicit-n_planes build must not run eager jobs over the input"
+    assert res.count() >= 0   # and the plan executes fine
+    res.release_cached_inputs()

@@ -74,8 +74,19 @@ def test_typed_params_decode(spark):
     df = spark.createDataFrame(
         rows, "conv_id long, turn_idx long, role string, text string, tool string, ts string"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    p = typed_params(parse_stage(df, min_support=1)).select("turn_idx", "p").collect()
-    by_idx = {r["turn_idx"]: r["p"] for r in p}
+    # NOTE: never .collect() the raw `p` struct here — `p.ret` is a
+    # YearMonthIntervalType and PySpark 4.1.2's client fromInternal for that
+    # type is unconditionally NOT_IMPLEMENTED (even for NULLs). Cast it to
+    # int (total months) server-side; everything else collects natively.
+    p = typed_params(parse_stage(df, min_support=1)).select(
+        "turn_idx",
+        F.col("p.rows").alias("rows"), F.col("p.bytes").alias("bytes"),
+        F.col("p.rc").alias("rc"), F.col("p.value").alias("value"),
+        F.col("p.scn").alias("scn"), F.col("p.at").alias("at"),
+        F.col("p.lag").alias("lag"),
+        F.col("p.ret").cast("int").alias("ret"),
+    ).collect()
+    by_idx = {r["turn_idx"]: r for r in p}
     assert by_idx[0]["rows"] == 42 and by_idx[0]["bytes"] is None
     assert by_idx[1]["rc"] == 0 and by_idx[1]["bytes"] == 1024
     assert by_idx[2]["value"] == 1.5
@@ -204,6 +215,55 @@ def test_kafka_route_real_writer_branch_contract(spark, parsed):
     assert all(r["servers"] == "fake-broker:9092" for r in rows)
     json.loads(rows[0]["value"])          # value is one JSON message
     assert rows[0]["key"]                 # routing key present
+
+
+def test_kafka_wire_codec_roundtrip():
+    """The produce framing survives its own decoder, CRCs verified — and a
+    flipped payload byte is caught by the CRC check."""
+    from openlogparse_spark.route.kafka_wire import (
+        decode_produce_request,
+        encode_produce_request,
+    )
+
+    msgs = [(b"k1", b"v1"), (None, b"v2"), (b"k3", None)]
+    frame = encode_produce_request("t0", msgs, correlation_id=7, acks=-1)
+    req = decode_produce_request(frame[4:])   # strip the size prefix
+    assert req["correlation_id"] == 7 and req["acks"] == -1
+    assert req["topics"]["t0"][0] == msgs
+    # corrupt one payload byte inside the message set -> CRC mismatch
+    bad = bytearray(frame[4:])
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_produce_request(bytes(bad))
+
+
+def test_kafka_route_over_real_socket(spark, parsed):
+    """Stretch item r4→r5 #8: drive the route's kafka branch through the
+    'kafkasocket' Python Data Source, which ships every routed row as REAL
+    Kafka Produce v0 frames over a REAL TCP socket and blocks on the broker
+    ack (acks=-1) — the reference's WriterKafka delivery-confirmation
+    semantics (WriterKafka.cpp:86-142). Only the broker is a stub, and it
+    must genuinely parse the wire format (offsets, lengths, CRCs) to
+    recover the records asserted below."""
+    from openlogparse_spark.route.kafka_wire import (
+        StubBroker,
+        register_socket_kafka_sink,
+    )
+
+    fmt = register_socket_kafka_sink(spark)
+    with StubBroker() as broker:
+        routes = [{"route_id": "r_ksock", "sink": "r_ksock", "format": "kafka",
+                   "template_pattern": "^CALL ", "condition": "",
+                   "topic": "calls", "kafka_servers": broker.servers,
+                   "kafka_format": fmt}]
+        counts = route_stage(parsed, routes, os.path.join(TMP, "sinks_ksock"))
+        assert counts["r_ksock"] == -1       # broker-side sink
+        got = broker.records("calls")
+    expect = parsed.filter(F.col("template").rlike("^CALL ")).count()
+    assert len(got) == expect and expect > 0
+    assert all(k for k, _ in got)            # routing key present
+    msg = json.loads(got[0][1].decode())     # value is one JSON message
+    assert "payload" in msg or "op" in msg
 
 
 def test_json_route_sink_roundtrips(spark, parsed):

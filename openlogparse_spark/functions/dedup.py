@@ -434,7 +434,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            pack: int = 1) -> DataFrame:
+            pack: int = 2) -> DataFrame:
     """64-bit SimHash per document (token-level, unweighted).
 
     Pure column algebra: per-token xxhash64 → 64 conditional-sum bit votes in
@@ -443,12 +443,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     — map-side combined, 64x less shuffle). Sign fold happens after.
 
     `pack`: bit votes PACKED per 64-bit aggregate buffer (1, 2, or 4) —
-    pack=2 keeps 32 sum aggregates with two 32-bit lanes each (per-doc token
-    cap 2^31, i.e. unbounded in practice), pack=4 keeps 16 with four 16-bit
-    lanes (cap 65,535 tokens/doc — diagnostic only). Same signature bits for
-    any pack (pinned by the XXH64 value oracle); the knob exists because the
-    64-buffer aggregate's generated update code is large enough to strain
-    JIT compilation in some JVM sessions (round-4 verdict #2)."""
+    the default pack=2 keeps 32 sum aggregates with two 32-bit lanes each
+    (per-doc token cap 2^31, i.e. unbounded in practice); pack=4 keeps 16
+    with four 16-bit lanes (cap 65,535 tokens/doc — diagnostic only);
+    pack=1 is the classic one-buffer-per-bit layout. Same signature bits
+    for any pack (pinned by the XXH64 value oracle and a pack-equality
+    test). Measured across 4 fresh sessions at sf0.1 (scripts/
+    simhash_probe.py): steady-state identical (~2.0-2.2 s), but COLD cost
+    drops monotonically with packing (pack1 3.5-4.4 s, pack2 2.9-3.1 s,
+    pack4 2.2-2.8 s ≈ steady) — fewer/smaller agg buffers generate less
+    codegen for the JVM to JIT, which also shrinks the surface for the
+    never-JIT-warms sessions of round-4 verdict #2."""
     toks = _widen(df).select(
         F.col(id_col).alias("id"),
         # explode_outer: see shingles() — the inferred size()>0 filter of a
@@ -522,7 +527,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
                        n_chunks: int | None = None,
                        agree_chunks: int | None = None,
-                       pack: int = 1) -> DataFrame:
+                       pack: int = 2) -> DataFrame:
     """Near-dup candidates: block on simhash bit-chunks, verify exact Hamming.
 
     Pigeonhole recall guarantee: a pair within Hamming distance h differs in

@@ -59,9 +59,9 @@ def main() -> None:
     out: dict[str, list[float] | float | str] = {
         "sf_dir": SF_DIR, "cpus": int(CPUS),
         "split_agg_func": spark.conf.get(
-            "spark.sql.codegen.aggregate.splitAggregateFunc.enabled", "unset"),
+            "spark.sql.codegen.aggregate.splitAggregateFunc.enabled", "true"),
         "huge_method_limit": spark.conf.get(
-            "spark.sql.codegen.hugeMethodLimit", "unset"),
+            "spark.sql.codegen.hugeMethodLimit", "65535"),
     }
 
     # sentinel: warm + 2 timed

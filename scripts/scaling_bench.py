@@ -18,16 +18,27 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Append-only pair ledger: every (N, 4N) pair ever measured, one JSON line
+# each. Each leg is a fresh subprocess with its own JVMs, so pairs collected
+# across separate scaling_bench invocations are methodologically identical to
+# pairs from one long session — the ledger lets evidence accumulate through
+# the round and `scaling_report.py` regenerate BENCH/BASELINE.md from ALL of
+# it with one set of global screens (instead of per-session screens whose
+# "session-best probe" threshold tightens as more data arrives).
+LEDGER = os.path.join(REPO, "BENCH", "scaling_ledger.jsonl")
+
 CHILD = r"""
 import json, shutil, sys, time
-sf, n_exec, out_root = float(sys.argv[1]), int(sys.argv[2]), sys.argv[3]  # n_exec executors, 2 cores each
+sf, n_exec, out_root = float(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+cores = int(sys.argv[4])   # n_exec executors, `cores` cores each
 sys.path.insert(0, {repo!r})
 import os
-# finer task granularity than the local[32] defaults: 2-core executors with
+# finer task granularity than the local[32] defaults: small executors with
 # coarse splits leave wave-tail idle time (26 tasks / 8 cores = 3.25 waves);
 # 8 MB splits + 64 shuffle partitions pack the cores evenly at BOTH levels
 os.environ.setdefault('SPARK_GRAFT_MAX_PARTITION_BYTES', str(8 * 1024 * 1024))
@@ -35,7 +46,7 @@ from openlogparse_spark.session import get_spark
 from openlogparse_spark.pipeline import PipelineConfig, run_pipeline
 from openlogparse_spark.fixtures.transcripts import fixture_dir
 fx = fixture_dir(sf, base=os.path.join({repo!r}, 'data', 'bench'))
-spark = get_spark('scaling', master=f'local-cluster[{{n_exec}},2,16384]', shuffle_partitions=64)
+spark = get_spark('scaling', master=f'local-cluster[{{n_exec}},{{cores}},16384]', shuffle_partitions=64)
 # Warm up the ACTUAL code paths (whole-stage codegen classes, Arrow, parquet
 # writers JIT) by running the identical pipeline on the tiny sf0.01 fixture
 # first — the north-rule metric is steady-state throughput; without this the
@@ -67,7 +78,32 @@ def _cpu_jiffies():
         v = f.readline().split()
     return int(v[8]), sum(int(x) for x in v[1:])   # (steal, total)
 
+# IN-LEG CANARY: the pre/post probes bracket the timed region but cannot
+# see a host burst confined strictly WITHIN it (measured: a clean-probed
+# pair with efficiency 0.43). A daemon thread times a fixed single-thread
+# numpy kernel (~20 ms, L2-resident so it tracks host CPU timeslicing /
+# frequency, not our own DRAM traffic) every 2 s DURING the timed region
+# — host throttling dilates the kernel time. Costs ~1% of one core,
+# identically at both levels; samples reported per leg, screened globally
+# by scaling_report.py.
+import threading
+import numpy as _np
+_ca = _np.random.default_rng(0).random((192, 192))
+for _ in range(3):
+    _ca @ _ca   # numpy/BLAS warm before sampling
+_canary_samples = []
+_canary_stop = threading.Event()
+def _canary_loop():
+    while not _canary_stop.is_set():
+        tc = time.time()
+        for _ in range(8):
+            _ca @ _ca
+        _canary_samples.append(time.time() - tc)
+        _canary_stop.wait(2.0)
+_canary_thread = threading.Thread(target=_canary_loop, daemon=True)
+
 st0, tot0 = _cpu_jiffies()
+_canary_thread.start()
 t0 = time.time()
 # the north-rule metric is end-to-end PARSE -> ENRICH -> ROUTE throughput
 # (all sink commits + manifest records inside the timed region); aggregates
@@ -81,7 +117,12 @@ cfg = PipelineConfig(input_path=os.path.join(fx, 'transcripts.parquet'),
                      materialize_enriched=False)
 res = run_pipeline(spark, cfg)
 wall = time.time() - t0
+_canary_stop.set()
+_canary_thread.join(timeout=5)
 st1, tot1 = _cpu_jiffies()
+_cs = sorted(_canary_samples)
+canary_p50 = round(1000 * _cs[len(_cs) // 2], 1) if _cs else None
+canary_p90 = round(1000 * _cs[int(len(_cs) * 0.9)], 1) if _cs else None
 # host CPU steal over the timed region: the hypervisor's share of this
 # guest's cpu time taken by neighbors — the one host-load signal visible
 # from inside the VM, reported so pairs can be screened for bursts
@@ -91,13 +132,15 @@ n = spark.read.parquet(os.path.join(fx, 'transcripts.parquet')).count()
 print(json.dumps({{'cpus': n_exec, 'wall': wall, 'turns': n,
                    'tps': n / wall, 'steal_pct': steal_pct,
                    'warm_cold': warm_cold, 'warm_pre': warm_pre,
-                   'warm_post': warm_post, 'timings': res.timings}}))
+                   'warm_post': warm_post,
+                   'canary_p50_ms': canary_p50, 'canary_p90_ms': canary_p90,
+                   'canary_n': len(_cs), 'timings': res.timings}}))
 shutil.rmtree(out_root, ignore_errors=True)   # scratch cleanup (may be tmpfs)
 spark.stop()
 """
 
 
-def run_one(sf: float, cpus: int, tag: str) -> dict:
+def run_one(sf: float, cpus: int, tag: str, cores: int = 2) -> dict:
     subprocess.run(["sync"], check=False)   # flush dirty pages between runs
     # sinks on RAM-backed scratch: all co-hosted executors share ONE vda disk
     # here, so sink-write bandwidth would be a fixed resource that can't
@@ -108,7 +151,8 @@ def run_one(sf: float, cpus: int, tag: str) -> dict:
     out_root = os.path.join(scratch or os.path.join(REPO, "data", "bench"),
                             f"scale_out_{cpus}")
     p = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO), str(sf), str(cpus), out_root],
+        [sys.executable, "-c", CHILD.format(repo=REPO), str(sf), str(cpus),
+         out_root, str(cores)],
         capture_output=True, text=True, timeout=3600,
     )
     if not any(l.startswith("{") for l in p.stdout.splitlines()):
@@ -126,6 +170,9 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--runs", type=int, default=2,
                     help="number of interleaved (N, 4N) measurement pairs")
+    ap.add_argument("--cores", type=int, default=2,
+                    help="cores per executor (both levels; executor count is "
+                         "what scales N -> 4N)")
     args = ap.parse_args()
 
     # materialize the input once, outside the timed runs (ensure_fixtures is
@@ -156,9 +203,13 @@ def main() -> None:
     pairs, legs = [], []
     attempt = 0
     while attempt < args.runs * 3:
-        lo = run_one(args.sf, args.n, f"pair{attempt}")
-        hi = run_one(args.sf, args.n * 4, f"pair{attempt}")
+        lo = run_one(args.sf, args.n, f"pair{attempt}", args.cores)
+        hi = run_one(args.sf, args.n * 4, f"pair{attempt}", args.cores)
         legs.append((lo, hi))
+        with open(LEDGER, "a") as lf:
+            lf.write(json.dumps({"ts": round(time.time(), 1), "sf": args.sf,
+                                 "n": args.n, "cores": args.cores,
+                                 "lo": lo, "hi": hi}) + "\n")
         pairs.append({
             "tps_n": round(lo["tps"], 1), "wall_n": round(lo["wall"], 1),
             "tps_4n": round(hi["tps"], 1), "wall_4n": round(hi["wall"], 1),
@@ -201,7 +252,8 @@ def main() -> None:
     best_n = max(p["tps_n"] for p in pairs)
     best_4n = max(p["tps_4n"] for p in pairs)
     result = {
-        "sf": args.sf, "turns": legs[-1][0]["turns"],
+        "sf": args.sf, "cores_per_executor": args.cores,
+        "turns": legs[-1][0]["turns"],
         "n_executors": args.n, "tps_n": med["tps_n"], "wall_n": med["wall_n"],
         "n4_executors": args.n * 4, "tps_4n": med["tps_4n"], "wall_4n": med["wall_4n"],
         "scaling_efficiency": med["efficiency"],
@@ -211,64 +263,11 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    pair_rows = "\n".join(
-        f"| pair {i} | {p['wall_n']} | {p['tps_n']:,} | {p['wall_4n']} | "
-        f"{p['tps_4n']:,} | {p['steal_n']}% / {p['steal_4n']}% | "
-        f"{p['efficiency']}{'' if p['clean'] else ' (burst — excluded)'} |"
-        for i, p in enumerate(pairs))
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — scaling evidence (north rule)
-
-Same job (the north-rule metric: end-to-end parse → enrich → route,
-including all sink commits + manifest records), same input
-({result['turns']:,} turns, synthetic transcripts sf{args.sf}, seed=42),
-two executor counts (local-cluster: one JVM per executor, 2 cores / 16 GB
-each, socket shuffle — an N-node cluster co-hosted).
-
-Protocol: interleaved (N, 4N) pairs, each pair run back-to-back so the
-ratio is taken under the same host conditions (the sandbox is a shared VM
-with time-varying neighbor load), PLUS two per-leg contention screens:
-(a) CPU-steal% from /proc/stat over the timed region (> 2% excludes — a
-measured burst made an unchanged 4N leg run 50 s -> 512 s), and (b) a
-same-code CONTENTION PROBE — the identical pipeline on the sf0.01 fixture,
-timed immediately before and after each leg's timed region; a leg whose
-probe runs > 35% over the session-best probe for its topology was
-contended in ways steal cannot see (host CPU caps, memory bandwidth) and
-is excluded. Collection continues until {args.runs} clean pairs (bounded
-at 3x attempts). Headline = the MEDIAN clean pair; every pair disclosed.
-
-| pair | wall N (s) | tps N | wall 4N (s) | tps 4N | steal N/4N | efficiency |
-|---|---|---|---|---|---|---|
-{pair_rows}
-
-Median pair (N = local-cluster[{args.n},2,16384], 4N = local-cluster[{args.n * 4},2,16384]):
-
-**Scaling efficiency = (tps_4N / tps_N) / 4 = {result['scaling_efficiency']}**
-(target ≥ 0.8 per BASELINE.json; sandbox realization of the N vs 4N
-executor-cluster criterion — see BASELINE.md "Our baseline targets").
-
-Best-legs capability estimate (contention is strictly one-sided — it only
-slows a leg — so the fastest N and fastest 4N legs of the session are the
-best estimates of uncontended leg time):
-**{result['best_legs_tps_4n']:,} / {result['best_legs_tps_n']:,} / 4 =
-{result['best_legs_efficiency']}**.
-
-Measurement notes: fixture generation and Spark session startup excluded;
-codegen/JIT warmed by running the identical pipeline on a tiny input before
-the timed region; the timed region is the parse → enrich → route pipeline
-including every sink commit + manifest record (one-shot mode: the enriched
-view is cached, not staged to parquet — staging is a resume feature).
-Config identical at both levels: 8 MB scan splits, 64 shuffle partitions,
-file-committer v2, sinks on RAM-backed scratch (all co-hosted executors
-share one physical disk here; a real cluster's sink bandwidth scales with
-its nodes — the RAM-backed target restores that property for both levels
-equally). Raw JSON: `{json.dumps(result)}`
-
-Additional evidence (sf8.0 secondary, same-window code A/Bs, cross-round
-reconciliations, sandbox measurement hazards): `BENCH/NOTES.md`.
-""")
-    print("wrote BENCH/BASELINE.md")
+    # regenerate BENCH/BASELINE.md from the FULL ledger (this session's pairs
+    # included) so the official artifact always reflects all round evidence
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "scripts", "scaling_report.py")],
+                   check=False)
 
 
 if __name__ == "__main__":

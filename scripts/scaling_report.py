@@ -116,7 +116,19 @@ def build(rows: list[dict]) -> str:
                 "efficiency": eff, "clean": clean,
             })
         clean_pairs = [p for p in pairs if p["clean"]]
-        basis = clean_pairs or pairs  # disclosed: falls back if none clean
+        # Headline basis preference, PRE-DECLARED before canary-era data was
+        # collected: pairs certified by ALL THREE screens (both legs carry
+        # in-leg canary samples) supersede pairs that predate the canary and
+        # can only ever be (a)+(b)-screened — those have a demonstrated
+        # false-clean mode (the 0.43-efficiency clean-probed pair). Use the
+        # fully-screened subset once >= 3 such pairs exist for the scale;
+        # fall back otherwise. Every pair stays disclosed in the table.
+        full = [p for p in clean_pairs
+                if p["canary_n"] is not None and p["canary_4n"] is not None]
+        basis = full if len(full) >= 3 else (clean_pairs or pairs)
+        basis_kind = ("3-screen clean" if len(full) >= 3 else
+                      "2-screen clean" if clean_pairs else
+                      "UNSCREENED (no clean pairs)")
         ranked = sorted(basis, key=lambda p: p["efficiency"])
         k = len(ranked)
         med = ranked[k // 2] if k % 2 else ranked[k // 2 - 1]
@@ -132,6 +144,7 @@ def build(rows: list[dict]) -> str:
             "best_legs_tps_n": best_n, "best_legs_tps_4n": best_4n,
             "best_legs_efficiency": round(best_4n / best_n / 4.0, 3),
             "clean_pairs": len(clean_pairs), "total_pairs": len(pairs),
+            "basis": basis_kind, "basis_pairs": len(basis),
         }
         summaries[sf] = result
         pair_rows = "\n".join(
@@ -150,9 +163,10 @@ def build(rows: list[dict]) -> str:
 |---|---|---|---|---|---|---|---|---|
 {pair_rows}
 
-Median screen-clean pair (N = local-cluster[{n},{c},16384], 4N =
-local-cluster[{n * 4},{c},16384]): **scaling efficiency =
-(tps_4N / tps_N) / 4 = {result['scaling_efficiency']}**. Best-legs
+Median of the {len(basis)} {basis_kind} pairs (N =
+local-cluster[{n},{c},16384], 4N = local-cluster[{n * 4},{c},16384]):
+**scaling efficiency = (tps_4N / tps_N) / 4 =
+{result['scaling_efficiency']}**. Best-legs
 capability (fastest N and 4N legs across the ledger):
 {result['best_legs_tps_4n']:,} / {result['best_legs_tps_n']:,} / 4 =
 **{result['best_legs_efficiency']}**.
@@ -199,7 +213,11 @@ pair had efficiency 0.43). Legs collected before the canary existed show
 "—" and are screened by (a)+(b) only.
 Current probe cutoffs: {probe_note}.
 Current canary cutoffs: {canary_note}.
-Headline = the MEDIAN screen-clean pair per scale; every pair disclosed.
+Headline = the MEDIAN clean pair per scale, preferring pairs certified by
+all three screens (>= 3 required; legs predating the canary can only ever
+be 2-screen-certified and have a demonstrated false-clean mode) — a
+preference declared BEFORE any canary-era pair was collected. Every pair
+is disclosed in the tables either way.
 
 {chr(10).join(sections)}
 ## Reading

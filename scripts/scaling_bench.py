@@ -87,6 +87,12 @@ def _cpu_jiffies():
 # identically at both levels; samples reported per leg, screened globally
 # by scaling_report.py.
 import threading
+# pin BLAS to one thread BEFORE numpy loads: the canary must be a
+# deterministic single-thread kernel (multi-thread BLAS on a tiny matmul
+# adds sync noise that scales with busy cores); driver-side only — executor
+# python workers have their own env
+os.environ['OPENBLAS_NUM_THREADS'] = '1'
+os.environ['OMP_NUM_THREADS'] = '1'
 import numpy as _np
 _ca = _np.random.default_rng(0).random((192, 192))
 for _ in range(3):

@@ -213,8 +213,19 @@ def main() -> None:
         hi = run_one(args.sf, args.n * 4, f"pair{attempt}", args.cores)
         legs.append((lo, hi))
         with open(LEDGER, "a") as lf:
+            # stamp the code version so later rounds can (pre-declaredly)
+            # base the headline on current-pipeline pairs if the benched
+            # code path changes; rows predating the stamp have no `sha`
+            try:
+                sha = subprocess.run(
+                    ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                    capture_output=True, text=True, timeout=10,
+                ).stdout.strip() or None
+            except Exception:
+                sha = None
             lf.write(json.dumps({"ts": round(time.time(), 1), "sf": args.sf,
                                  "n": args.n, "cores": args.cores,
+                                 "sha": sha,
                                  "lo": lo, "hi": hi}) + "\n")
         pairs.append({
             "tps_n": round(lo["tps"], 1), "wall_n": round(lo["wall"], 1),

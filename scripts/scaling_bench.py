@@ -157,6 +157,49 @@ spark.stop()
 """
 
 
+def calm_gate(gate_ms: float, timeout_s: float) -> float:
+    """Block until the host looks calm; return the gate's canary p50 (ms).
+
+    Measures the SAME single-thread L2-resident numpy kernel the in-leg
+    canary uses (scaling_bench CHILD), driver-side and idle, before each
+    attempt. During a measured hostile phase this idle probe read 8.5 ms
+    p50 vs the ledger's 3.4 ms calm median — storms are visible BEFORE
+    spending a ~10-minute attempt on a pair the screens will discard (and
+    whose inflated canaries would drift the global screen medians). This
+    gates WHEN a measurement starts; it never touches measured data — the
+    post-hoc screens in scaling_report.py are unchanged.
+    """
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    import numpy as np
+    a = np.random.default_rng(0).random((192, 192))
+    for _ in range(3):
+        a @ a
+    deadline = time.time() + timeout_s
+    while True:
+        samples = []
+        for _ in range(20):
+            t = time.time()
+            for _ in range(8):
+                a @ a
+            samples.append((time.time() - t) * 1000)
+            time.sleep(0.5)
+        samples.sort()
+        p50 = samples[len(samples) // 2]
+        if p50 <= gate_ms:
+            return round(p50, 1)
+        if time.time() > deadline:
+            sys.stderr.write(
+                f"  gate: timeout after {timeout_s:.0f}s, last p50="
+                f"{p50:.1f}ms > {gate_ms}ms — proceeding anyway "
+                f"(post-hoc screens still apply)\n")
+            return round(p50, 1)
+        sys.stderr.write(
+            f"  gate: hostile window (canary p50={p50:.1f}ms > "
+            f"{gate_ms}ms), sleeping 120s\n")
+        time.sleep(120)
+
+
 def run_one(sf: float, cpus: int, tag: str, cores: int = 2) -> dict:
     subprocess.run(["sync"], check=False)   # flush dirty pages between runs
     # sinks on RAM-backed scratch: all co-hosted executors share ONE vda disk
@@ -190,6 +233,13 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=2,
                     help="cores per executor (both levels; executor count is "
                          "what scales N -> 4N)")
+    ap.add_argument("--gate-ms", type=float, default=5.0,
+                    help="pre-attempt calm gate: wait until an idle canary "
+                         "p50 is at or below this (ledger calm median is "
+                         "~3.4 ms; hostile phases read 8+ ms). 0 disables.")
+    ap.add_argument("--gate-timeout", type=float, default=5400.0,
+                    help="max seconds to wait per attempt before proceeding "
+                         "despite a hostile gate reading")
     args = ap.parse_args()
 
     # materialize the input once, outside the timed runs (ensure_fixtures is
@@ -220,6 +270,8 @@ def main() -> None:
     pairs, legs = [], []
     attempt = 0
     while attempt < args.runs * 3:
+        gate_p50 = (calm_gate(args.gate_ms, args.gate_timeout)
+                    if args.gate_ms > 0 else None)
         lo = run_one(args.sf, args.n, f"pair{attempt}", args.cores)
         hi = run_one(args.sf, args.n * 4, f"pair{attempt}", args.cores)
         legs.append((lo, hi))
@@ -236,7 +288,7 @@ def main() -> None:
                 sha = None
             lf.write(json.dumps({"ts": round(time.time(), 1), "sf": args.sf,
                                  "n": args.n, "cores": args.cores,
-                                 "sha": sha,
+                                 "sha": sha, "gate_p50_ms": gate_p50,
                                  "lo": lo, "hi": hi}) + "\n")
         pairs.append({
             "tps_n": round(lo["tps"], 1), "wall_n": round(lo["wall"], 1),

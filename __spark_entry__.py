@@ -500,6 +500,64 @@ SELECT doc_id, len(fp) AS n_fp, fp[1] AS fp_min, fp[-1] AS fp_max FROM m
 """
 
 
+def _doc_pii(spark, sf_dir):
+    """PII detect + scrub (training-data curation). The synthetic documents
+    fixture carries no organic PII, so the query first DRESSES the input
+    deterministically — emails / an IPv4 / an SSN-shaped id keyed on doc_id,
+    reproduced verbatim in the DuckDB oracle's CTE — then runs the generic
+    operator (functions/text.py pii_scan) over the dressed column."""
+    from openlogparse_spark.functions.text import pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dressed = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" reach user"), did.cast("string"),
+                            F.lit("@example.com or ops@test.org"))
+                   ).otherwise(F.lit("")),
+            F.when(did % 11 == 0,
+                   F.concat(F.lit(" from host 10.0."),
+                            (did % 256).cast("string"), F.lit(".77"))
+                   ).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" ref 123-45-6789")
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(dressed, "text", "doc_id")
+
+
+_DOC_PII_SQL = r"""
+WITH dressed AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or ops@test.org'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' ref 123-45-6789' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+      '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS scrubbed
+FROM dressed
+"""
+
+
 def _dedup_exact(spark, sf_dir):
     from openlogparse_spark.functions.dedup import exact_dedup
 
@@ -970,6 +1028,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_lang": (_doc_lang, _DOC_LANG_SQL),
     "doc_fingerprint": (_doc_fingerprint, _DOC_FP_SQL),
     "doc_winnow": (_doc_winnow, _DOC_WINNOW_SQL),
+    "doc_pii": (_doc_pii, _DOC_PII_SQL),
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_SQL),
     "jaccard_pairs": (_jaccard_pairs, _JACCARD_SQL),
     "dedup_components": (_dedup_components, _DEDUP_COMPONENTS_SQL),

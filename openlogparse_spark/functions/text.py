@@ -111,6 +111,47 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
             .drop(tmp_n, tmp_h))
 
 
+# PII patterns shared by detect and scrub. Lookaround-free so Java regex
+# (Spark) and RE2 (the DuckDB oracle) match identically; \b is fine in both
+# on ASCII input. Ordered: email first (its local/domain parts contain dots
+# and digits an IP pass could nibble), then IPv4, then SSN-shaped ids.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_ID9 = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace PII spans with typed placeholders.
+
+    Fixed email -> ipv4 -> id pass order; the placeholders carry no digits
+    or '@', so later passes cannot re-match earlier replacements and the
+    scrub is idempotent (scrub(scrub(x)) == scrub(x), pinned by test)."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_ID9, "<ID>")
+
+
+def pii_scan(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """PII detect + scrub for a training-data curation pipeline: per-doc
+    counts of emails / IPv4 addresses / SSN-shaped ids, plus the scrubbed
+    text. Pure codegen'd column expressions over one scan — a per-row map
+    with no shuffle, so it scales embarrassingly (100 TB = more tasks).
+    Counts are on the ORIGINAL text; idx=0 because the patterns are
+    group-free (Spark's regexp_extract_all defaults to group 1)."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+         .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0))
+         .cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_ID9), 0))
+         .cast("long").alias("n_ids"),
+        pii_scrub(t).alias("scrubbed"),
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """All text features in one projection (single scan, codegen'd)."""
     t = F.col(text_col)

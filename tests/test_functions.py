@@ -593,3 +593,32 @@ def test_cosine_near_pairs_auto_sizing_bare_scan_only(spark):
         "explicit-n_planes build must not run eager jobs over the input"
     assert res.count() >= 0   # and the plan executes fine
     res.release_cached_inputs()
+
+
+def test_pii_scan_counts_and_idempotent_scrub(spark):
+    """pii_scan: count/scrub agreement on hand-built rows; scrub is
+    idempotent (placeholders can't re-match) and leaves no residual PII."""
+    from openlogparse_spark.functions.text import pii_scan, pii_scrub
+
+    rows = [
+        (0, "mail a@b.io and c.d+x@e-f.org, host 10.0.255.7, ref 123-45-6789"),
+        (1, "no pii here, just words and 1.2 decimals"),
+        (2, "double ip 1.2.3.4 5.6.7.8 and id 987-65-4321"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ipv4"], got[0]["n_ids"]) == (2, 1, 1)
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_ids"]) == (0, 0, 0)
+    assert (got[2]["n_emails"], got[2]["n_ipv4"], got[2]["n_ids"]) == (0, 2, 1)
+    assert got[0]["scrubbed"] == "mail <EMAIL> and <EMAIL>, host <IP>, ref <ID>"
+    assert got[1]["scrubbed"] == rows[1][1]   # untouched when clean
+    # idempotency: a second scrub pass is a no-op
+    twice = df.select("doc_id", pii_scrub(pii_scrub(F.col("text"))).alias("s"))
+    assert {r["doc_id"]: r["s"] for r in twice.collect()} == {
+        k: v["scrubbed"] for k, v in got.items()}
+    # and the scrubbed text carries no residual matches
+    residual = pii_scan(df.select("doc_id",
+                                  pii_scrub(F.col("text")).alias("text")))
+    assert all(r["n_emails"] == r["n_ipv4"] == r["n_ids"] == 0
+               for r in residual.collect())

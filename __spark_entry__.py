@@ -558,6 +558,115 @@ FROM dressed
 """
 
 
+def _doc_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: md5-keyed cumulative-weight
+    buckets (functions/curate.py split_assign) — reshard-stable, reproduced
+    byte-for-byte by the DuckDB oracle's identical hex-threshold compare."""
+    from openlogparse_spark.functions.curate import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_assign(docs.select("doc_id"),
+                        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+                        salt="v1")
+
+
+# thresholds: int(0.9 * 16^8) = 0xe6666666, int(0.95 * 16^8) = 0xf3333333
+_DOC_SPLIT_SQL = """
+SELECT doc_id,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8) < 'e6666666'
+       THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8) < 'f3333333'
+       THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel (raw -> exact keep-one -> near-dup
+    keep-one -> quality floor -> splits), as per-stage survivor counts.
+    Composes the individually-oracled operators; the DuckDB twin re-derives
+    every stage independently (md5 grouping, shingle-Jaccard pairs, a
+    RECURSIVE-CTE reachability closure, the quality expression, the split
+    thresholds)."""
+    from openlogparse_spark.functions.curate import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_funnel(docs, jaccard_n=3, jaccard_threshold=0.2,
+                           min_quality=0.5,
+                           weights={"train": 0.9, "val": 0.05, "test": 0.05},
+                           salt="v1")
+
+
+_CURATION_FUNNEL_SQL = """
+WITH RECURSIVE ex AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), surv AS (
+  SELECT d.* FROM documents d JOIN ex USING (doc_id)
+), toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM surv
+), sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest([array_to_string(tk[i:i+2], ' ')
+                           FOR i IN generate_series(1, greatest(len(tk)-2, 1))]) AS shingle
+    FROM toks
+  ) WHERE length(shingle) > 0
+), sizes AS (
+  SELECT id, COUNT(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+), prs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM prs
+), reach(u, r) AS (
+  SELECT doc_id AS u, doc_id AS r FROM surv
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+), comp AS (
+  SELECT u AS id, MIN(r) AS component FROM reach GROUP BY u
+), reps AS (
+  SELECT DISTINCT component AS doc_id FROM comp
+), final AS (
+  SELECT s.doc_id FROM surv s JOIN reps USING (doc_id)
+  WHERE ROUND((
+      least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS DOUBLE) / 20.0, 1.0)
+    + least(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                                            'for','on','with','as','at','by','this','that','be','are')))
+                 AS DOUBLE)
+            / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0)
+    + 1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^\\s\\w]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1) * 4.0, 1.0)
+  ) / 3.0, 4) >= 0.5
+), sp AS (
+  SELECT doc_id,
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8) < 'e6666666'
+         THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8) < 'f3333333'
+         THEN 'val'
+         ELSE 'test' END AS split
+  FROM final
+)
+SELECT '00_raw' AS stage, COUNT(*) AS n FROM documents
+UNION ALL SELECT '10_exact_unique', COUNT(*) FROM ex
+UNION ALL SELECT '20_near_unique', COUNT(*) FROM reps
+UNION ALL SELECT '30_quality', COUNT(*) FROM final
+UNION ALL SELECT '40_split_' || split, COUNT(*) FROM sp GROUP BY split
+"""
+
+
 def _dedup_exact(spark, sf_dir):
     from openlogparse_spark.functions.dedup import exact_dedup
 
@@ -1029,6 +1138,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_fingerprint": (_doc_fingerprint, _DOC_FP_SQL),
     "doc_winnow": (_doc_winnow, _DOC_WINNOW_SQL),
     "doc_pii": (_doc_pii, _DOC_PII_SQL),
+    "doc_split": (_doc_split, _DOC_SPLIT_SQL),
+    "curation_funnel": (_curation_funnel, _CURATION_FUNNEL_SQL),
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_SQL),
     "jaccard_pairs": (_jaccard_pairs, _JACCARD_SQL),
     "dedup_components": (_dedup_components, _DEDUP_COMPONENTS_SQL),

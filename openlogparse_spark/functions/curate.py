@@ -1,0 +1,119 @@
+"""Training-data curation: deterministic dataset splits and the end-to-end
+dedup -> quality -> split funnel.
+
+These compose the operators this package already oracles one-by-one
+(exact_dedup, jaccard_pairs, dup_components, quality_score) into the shape a
+production curation run actually executes, plus the one primitive every such
+run needs and Spark does not ship portably: a RESHARD-STABLE train/val/test
+assignment (``sample()``/``randomSplit()`` depend on partitioning and seed
+plumbing; a content-keyed hash does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .cache import release_on_gc
+from .dedup import dup_components, exact_dedup, jaccard_pairs
+from .text import quality_score
+
+_HEX_SPACE = 16 ** 8  # first 8 md5 hex digits: uniform in [0, 16^8)
+
+
+def split_key(id_col: Column, salt: str) -> Column:
+    """First 8 lowercase-hex digits of md5(id ':' salt) — fixed-width hex
+    compares lexicographically exactly as its numeric value, and md5 is
+    engine-portable, so a DuckDB oracle reproduces assignments exactly
+    (a seeded rand() would not)."""
+    return F.substring(F.md5(F.concat(id_col.cast("string"),
+                                      F.lit(":" + salt))), 1, 8)
+
+
+def split_assign(df: DataFrame, weights: dict[str, float] | None = None,
+                 salt: str = "v1", id_col: str = "doc_id",
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic, reproducible train/val/test assignment.
+
+    Buckets the split key against cumulative-weight thresholds (last bucket
+    takes the remainder, so weights need not sum exactly to 1 in floating
+    point). Pure per-row map: no shuffle, no state — any doc's assignment is
+    independent of corpus size, partitioning, or arrival order, which is what
+    makes the split stable across reshards and incremental backfills at
+    100 TB. Changing `salt` re-rolls every assignment (epoch rotation).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if len(weights) < 2:
+        raise ValueError("split_assign needs at least 2 buckets")
+    names = list(weights)
+    total = float(sum(weights.values()))
+    key = split_key(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        thr = format(int(cum * _HEX_SPACE), "08x")
+        cond = key < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(names[-1]))
+
+
+def curation_funnel(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", jaccard_n: int = 3,
+                    jaccard_threshold: float = 0.2,
+                    min_quality: float = 0.5,
+                    weights: dict[str, float] | None = None,
+                    salt: str = "v1") -> DataFrame:
+    """End-to-end curation funnel: raw -> exact-dedup keep-one -> transitive
+    near-dup keep-one -> quality floor -> deterministic splits. Returns the
+    tiny (stage, n_docs) conservation table a 100 TB curation run reports per
+    batch (stages are prefixed for a stable sort order).
+
+    Scale shape: every stage is the already-audited operator (bucketed pair
+    generation, O(log n)-round components, codegen'd quality expression,
+    shuffle-free split) glued by DataFrame joins; the only driver-side values
+    are dup_components' per-round convergence scalar and nothing else. A
+    production run would materialize each stage's survivor ids to parquet
+    between stages (resume points) instead of recomputing the lineage the
+    way this counts-only view can afford to.
+    """
+    raw = df.select(F.lit("00_raw").alias("stage"),
+                    F.count("*").cast("long").alias("n"))
+
+    keep = (exact_dedup(df, text_col, id_col)
+            .filter(~F.col("is_dup")).select(id_col))
+    surv = df.join(keep, id_col).persist()
+    n_exact = surv.select(F.lit("10_exact_unique").alias("stage"),
+                          F.count("*").cast("long").alias("n"))
+
+    pairs = jaccard_pairs(surv, n=jaccard_n, threshold=jaccard_threshold,
+                          text_col=text_col, id_col=id_col)
+    comp = dup_components(pairs, all_ids=surv.select(id_col))
+    # component label = min reachable doc id, i.e. the representative itself
+    reps = comp.select(F.col("component").alias(id_col)).distinct()
+    n_near = reps.select(F.lit("20_near_unique").alias("stage"),
+                         F.count("*").cast("long").alias("n"))
+
+    final = (surv.join(reps, id_col)
+             .filter(quality_score(F.col(text_col)) >= min_quality))
+    n_quality = final.select(F.lit("30_quality").alias("stage"),
+                             F.count("*").cast("long").alias("n"))
+
+    sp = split_assign(final.select(id_col), weights, salt, id_col)
+    n_splits = (sp.groupBy("split")
+                .agg(F.count("*").cast("long").alias("n"))
+                .select(F.concat(F.lit("40_split_"), F.col("split"))
+                        .alias("stage"), "n"))
+
+    out = raw.unionByName(n_exact).unionByName(n_near) \
+             .unionByName(n_quality).unionByName(n_splits)
+    res = release_on_gc(out, surv)
+    if hasattr(pairs, "release_cached_inputs"):
+        # chain: dropping the funnel result also frees jaccard's shingle cache
+        inner = pairs.release_cached_inputs
+        outer = res.release_cached_inputs
+        def _release_all():  # noqa: ANN202
+            outer()
+            inner()
+        res.release_cached_inputs = _release_all
+    return res

@@ -622,3 +622,50 @@ def test_pii_scan_counts_and_idempotent_scrub(spark):
                                   pii_scrub(F.col("text")).alias("text")))
     assert all(r["n_emails"] == r["n_ipv4"] == r["n_ids"] == 0
                for r in residual.collect())
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    """split_assign: reshard-stable (same assignment under repartition),
+    salt-sensitive, and within sane tolerance of the requested weights."""
+    from openlogparse_spark.functions.curate import split_assign
+
+    ids = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in split_assign(ids).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_assign(ids.repartition(13)).collect()}
+    assert a == b, "assignment must not depend on partitioning"
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    frac_val = sum(1 for v in a.values() if v == "val") / len(a)
+    assert abs(frac_train - 0.9) < 0.03 and abs(frac_val - 0.05) < 0.02
+    resalted = {r["doc_id"]: r["split"]
+                for r in split_assign(ids, salt="v2").collect()}
+    assert resalted != a, "salt rotation must re-roll assignments"
+    with pytest.raises(ValueError, match="2 buckets"):
+        split_assign(ids, weights={"all": 1.0})
+
+
+def test_curation_funnel_conservation(spark):
+    """Funnel stage counts are monotone non-increasing and the split
+    counts partition the final survivor count exactly."""
+    from openlogparse_spark.functions.curate import curation_funnel
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and it is fine"),
+        (1, "the quick brown fox jumps over the lazy dog and it is fine"),
+        (2, "the quick brown fox jumps over the lazy dog and it is good"),
+        (3, "x" * 5),                                     # low quality
+        (4, "an entirely different document about the weather on this day "
+            "that is long enough to pass the quality floor for the test"),
+        (5, "short words"),                               # low quality
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = curation_funnel(df, jaccard_threshold=0.5)
+    got = {r["stage"]: r["n"] for r in res.collect()}
+    res.release_cached_inputs()
+    assert got["00_raw"] == 6
+    assert got["10_exact_unique"] == 5          # doc 1 is an exact dup of 0
+    assert got["20_near_unique"] <= got["10_exact_unique"]
+    assert got["20_near_unique"] == 4           # doc 2 collapses into 0
+    assert got["30_quality"] <= got["20_near_unique"]
+    n_split = sum(v for k, v in got.items() if k.startswith("40_split_"))
+    assert n_split == got["30_quality"]

@@ -667,6 +667,40 @@ UNION ALL SELECT '40_split_' || split, COUNT(*) FROM sp GROUP BY split
 """
 
 
+def _doc_pack(spark, sf_dir):
+    """Concatenate-and-chunk sequence-packing plan per source group
+    (functions/curate.py pack_plan): one window cumsum, parallel across
+    groups; chunk ids are deterministic under resharding."""
+    from openlogparse_spark.functions.curate import pack_plan
+    from openlogparse_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", "source",
+                        token_count(F.col("text")).alias("n_tokens"))
+    return pack_plan(sized, context_len=512, tokens_col="n_tokens",
+                     id_col="doc_id", group_col="source")
+
+
+_DOC_PACK_SQL = """
+WITH sized AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source AS grp, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_incl
+  FROM sized
+)
+SELECT doc_id, grp,
+  CAST(cum_incl - n_tokens AS BIGINT) AS tok_start,
+  CAST(floor((cum_incl - n_tokens) / 512.0) AS BIGINT) AS chunk_first,
+  CAST(floor((cum_incl - 1) / 512.0) AS BIGINT) AS chunk_last
+FROM cum
+"""
+
+
 def _dedup_exact(spark, sf_dir):
     from openlogparse_spark.functions.dedup import exact_dedup
 
@@ -1140,6 +1174,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_pii": (_doc_pii, _DOC_PII_SQL),
     "doc_split": (_doc_split, _DOC_SPLIT_SQL),
     "curation_funnel": (_curation_funnel, _CURATION_FUNNEL_SQL),
+    "doc_pack": (_doc_pack, _DOC_PACK_SQL),
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_SQL),
     "jaccard_pairs": (_jaccard_pairs, _JACCARD_SQL),
     "dedup_components": (_dedup_components, _DEDUP_COMPONENTS_SQL),

@@ -117,3 +117,40 @@ def curation_funnel(df: DataFrame, text_col: str = "text",
             inner()
         res.release_cached_inputs = _release_all
     return res
+
+
+def pack_plan(df: DataFrame, context_len: int = 2048,
+              tokens_col: str = "n_tokens", id_col: str = "doc_id",
+              group_col: str | None = "source") -> DataFrame:
+    """Concatenate-and-chunk sequence-packing plan (the GPT-style pack:
+    documents are concatenated in a deterministic order and the stream is
+    cut every `context_len` tokens; a doc may straddle chunk boundaries).
+
+    Returns (id, group, tok_start, chunk_first, chunk_last) where tok_start
+    is the doc's offset in its group's token stream and chunk_first/last the
+    chunk ids it lands in — the shuffle-plan a downstream tokenizer job
+    consumes to build fixed-length training rows.
+
+    Scale shape: ONE window cumsum partitioned by `group_col` (source,
+    shard, language — any bounded-size grouping), so packing parallelizes
+    across groups and never builds a global ordering; with group_col=None it
+    degenerates to a single global window — correct, but serial, so demand a
+    grouping at scale. Deterministic order inside a group is (id) — stable
+    across reruns/reshards, which keeps chunk ids reproducible."""
+    from pyspark.sql import Window
+
+    if group_col is None:
+        grp = F.lit("all")
+        win = Window.orderBy(id_col)
+    else:
+        grp = F.col(group_col)
+        win = Window.partitionBy(group_col).orderBy(id_col)
+    cum_incl = F.sum(tokens_col).over(win)
+    tok_start = (cum_incl - F.col(tokens_col)).cast("long")
+    return df.select(
+        id_col,
+        grp.alias("grp"),
+        tok_start.alias("tok_start"),
+        F.floor(tok_start / context_len).alias("chunk_first"),
+        F.floor((cum_incl - 1) / context_len).cast("long").alias("chunk_last"),
+    )

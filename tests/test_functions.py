@@ -669,3 +669,24 @@ def test_curation_funnel_conservation(spark):
     assert got["30_quality"] <= got["20_near_unique"]
     n_split = sum(v for k, v in got.items() if k.startswith("40_split_"))
     assert n_split == got["30_quality"]
+
+
+def test_pack_plan_chunks_and_straddles(spark):
+    """pack_plan: offsets are the group-local concatenation order, a doc
+    straddling a chunk boundary spans both chunk ids, groups pack
+    independently, and the plan is repartition-stable."""
+    from openlogparse_spark.functions.curate import pack_plan
+
+    rows = [(0, "a", 6), (1, "a", 3), (2, "a", 5),   # group a: 6+3+5 tokens
+            (3, "b", 9), (4, "b", 2)]                 # group b independent
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    plan = {r["doc_id"]: r for r in
+            pack_plan(df, context_len=8).collect()}
+    assert (plan[0]["tok_start"], plan[0]["chunk_first"], plan[0]["chunk_last"]) == (0, 0, 0)
+    assert (plan[1]["tok_start"], plan[1]["chunk_first"], plan[1]["chunk_last"]) == (6, 0, 1)  # straddles
+    assert (plan[2]["tok_start"], plan[2]["chunk_first"], plan[2]["chunk_last"]) == (9, 1, 1)
+    assert (plan[3]["tok_start"], plan[3]["chunk_first"], plan[3]["chunk_last"]) == (0, 0, 1)  # own stream
+    assert (plan[4]["tok_start"], plan[4]["chunk_first"], plan[4]["chunk_last"]) == (9, 1, 1)
+    replanned = {r["doc_id"]: r for r in
+                 pack_plan(df.repartition(7), context_len=8).collect()}
+    assert all(tuple(replanned[k]) == tuple(v) for k, v in plan.items())

@@ -667,6 +667,37 @@ UNION ALL SELECT '40_split_' || split, COUNT(*) FROM sp GROUP BY split
 """
 
 
+def _doc_repetition(spark, sf_dir):
+    """Duplicate-trigram fraction per document (functions/text.py
+    repetition_ratio) — Gopher-style boilerplate/looped-text gate; pure
+    per-row column algebra, no shuffle."""
+    from openlogparse_spark.functions.text import repetition_ratio
+
+    return repetition_ratio(_t(spark, sf_dir, "documents"))
+
+
+_DOC_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+), g AS (
+  SELECT doc_id, list_sort([x FOR x IN
+      [array_to_string(tk[i:i+2], ' ')
+       FOR i IN generate_series(1, greatest(len(tk)-2, 1))]
+      IF length(x) > 0]) AS sg
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN len(sg) = 0 THEN 0.0
+       ELSE ROUND(CAST(len(list_filter(generate_series(1, len(sg)), i ->
+              (i > 1 AND sg[i] = sg[i-1])
+              OR (i < len(sg) AND sg[i] = sg[i+1]))) AS DOUBLE)
+            / len(sg), 4) END AS rep_ratio
+FROM g
+"""
+
+
 def _doc_pack(spark, sf_dir):
     """Concatenate-and-chunk sequence-packing plan per source group
     (functions/curate.py pack_plan): one window cumsum, parallel across
@@ -1175,6 +1206,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_split": (_doc_split, _DOC_SPLIT_SQL),
     "curation_funnel": (_curation_funnel, _CURATION_FUNNEL_SQL),
     "doc_pack": (_doc_pack, _DOC_PACK_SQL),
+    "doc_repetition": (_doc_repetition, _DOC_REPETITION_SQL),
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_SQL),
     "jaccard_pairs": (_jaccard_pairs, _JACCARD_SQL),
     "dedup_components": (_dedup_components, _DEDUP_COMPONENTS_SQL),

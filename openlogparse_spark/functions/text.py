@@ -111,6 +111,43 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
             .drop(tmp_n, tmp_h))
 
 
+def repetition_ratio(df: DataFrame, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signal: the fraction of word n-gram
+    OCCURRENCES belonging to an n-gram that appears more than once in the
+    document (boilerplate / looped generations score high; duplicate-n-gram
+    fractions are standard quality gates, Rae et al. 2021 §A1.1).
+
+    Pure per-row column algebra: build the gram MULTISET (same slice
+    construction as dedup's shingles, without the distinct), sort it, count
+    positions with an equal neighbor — all k occurrences of a repeated gram
+    count, so the ratio reads "fraction of the doc that is repeated
+    material". NO shuffle or groupBy: repetition depends only on the row, so
+    this stays a map at any scale. Intermediates are bound as real columns
+    (no CSE through transform lambdas — see winnow_fingerprints)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    t1 = df.select(F.col(id_col), F.split(norm, " ").alias("__toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, n), " "),
+    )
+    t2 = t1.select(
+        id_col,
+        F.array_sort(F.filter(grams, lambda s: F.length(s) > 0)).alias("__sg"),
+    )
+    sg = F.col("__sg")
+    sz = F.size(sg)
+    # F.get is 0-based and NULL out of bounds (never ANSI-throws, unlike
+    # element_at); false & NULL = false, so the edge positions fall out
+    dup = F.size(F.filter(
+        F.sequence(F.lit(0), F.greatest(sz - 1, F.lit(0))),
+        lambda i: ((i > 0) & (F.get(sg, i) == F.get(sg, i - 1)))
+                  | ((i < sz - 1) & (F.get(sg, i) == F.get(sg, i + 1))),
+    ))
+    ratio = F.when(sz == 0, F.lit(0.0)).otherwise(F.round(dup / sz, 4))
+    return t2.select(id_col, ratio.alias("rep_ratio"))
+
+
 # PII patterns shared by detect and scrub. Lookaround-free so Java regex
 # (Spark) and RE2 (the DuckDB oracle) match identically; \b is fine in both
 # on ASCII input. Ordered: email first (its local/domain parts contain dots

@@ -168,6 +168,14 @@ def calm_gate(gate_ms: float, timeout_s: float) -> float:
     whose inflated canaries would drift the global screen medians). This
     gates WHEN a measurement starts; it never touches measured data — the
     post-hoc screens in scaling_report.py are unchanged.
+
+    PERSISTENCE check (added after two pairs were green-lit by momentary
+    lulls inside volatile storm phases and ran at steal 15.7% / canary
+    17-25 ms): one 10-second window is not evidence of a calm PHASE. The
+    gate now requires (a) window p50 <= gate_ms AND p90 <= 1.5x gate_ms
+    (a dip inside a storm has a hot tail), then (b) a 30 s pause and a
+    second window that still satisfies (a). Storms in this sandbox are
+    multi-minute, so two clean windows 30 s apart selects phases, not dips.
     """
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     os.environ.setdefault("OMP_NUM_THREADS", "1")
@@ -175,8 +183,8 @@ def calm_gate(gate_ms: float, timeout_s: float) -> float:
     a = np.random.default_rng(0).random((192, 192))
     for _ in range(3):
         a @ a
-    deadline = time.time() + timeout_s
-    while True:
+
+    def window() -> tuple[float, float]:
         samples = []
         for _ in range(20):
             t = time.time()
@@ -185,9 +193,20 @@ def calm_gate(gate_ms: float, timeout_s: float) -> float:
             samples.append((time.time() - t) * 1000)
             time.sleep(0.5)
         samples.sort()
-        p50 = samples[len(samples) // 2]
-        if p50 <= gate_ms:
-            return round(p50, 1)
+        return samples[len(samples) // 2], samples[int(len(samples) * 0.9)]
+
+    def clean(p50: float, p90: float) -> bool:
+        return p50 <= gate_ms and p90 <= 1.5 * gate_ms
+
+    deadline = time.time() + timeout_s
+    while True:
+        p50, p90 = window()
+        if clean(p50, p90):
+            time.sleep(30)
+            p50b, p90b = window()
+            if clean(p50b, p90b):
+                return round(max(p50, p50b), 1)
+            p50, p90 = p50b, p90b   # fall through to the hostile report
         if time.time() > deadline:
             sys.stderr.write(
                 f"  gate: timeout after {timeout_s:.0f}s, last p50="
@@ -195,8 +214,8 @@ def calm_gate(gate_ms: float, timeout_s: float) -> float:
                 f"(post-hoc screens still apply)\n")
             return round(p50, 1)
         sys.stderr.write(
-            f"  gate: hostile window (canary p50={p50:.1f}ms > "
-            f"{gate_ms}ms), sleeping 120s\n")
+            f"  gate: hostile window (canary p50={p50:.1f}ms "
+            f"p90={p90:.1f}ms vs {gate_ms}ms), sleeping 120s\n")
         time.sleep(120)
 
 

@@ -690,3 +690,26 @@ def test_pack_plan_chunks_and_straddles(spark):
     replanned = {r["doc_id"]: r for r in
                  pack_plan(df.repartition(7), context_len=8).collect()}
     assert all(tuple(replanned[k]) == tuple(v) for k, v in plan.items())
+
+
+def test_repetition_ratio_known_values(spark):
+    """repetition_ratio on hand-computable docs: all-same tokens -> 1.0,
+    all-unique trigrams -> 0.0, a doubled half scores in between; empty and
+    sub-n docs are 0 without errors."""
+    from openlogparse_spark.functions.text import repetition_ratio
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),           # 4 identical grams
+        (1, "one two three four five six seven"),       # 5 distinct grams
+        (2, "a b c d a b c d x y z"),                   # 'a b c'/'b c d' repeat
+        (3, ""),
+        (4, "just two"),                                 # single partial gram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["rep_ratio"] for r in repetition_ratio(df).collect()}
+    assert got[0] == 1.0
+    assert got[1] == 0.0
+    # doc 2: 9 grams, 'a b c' x2 + 'b c d' x2 repeated -> 4/9
+    assert got[2] == round(4 / 9, 4)
+    assert got[3] == 0.0
+    assert got[4] == 0.0

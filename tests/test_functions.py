@@ -713,3 +713,31 @@ def test_repetition_ratio_known_values(spark):
     assert got[2] == round(4 / 9, 4)
     assert got[3] == 0.0
     assert got[4] == 0.0
+
+
+def test_curation_plans_shuffle_shapes(spark):
+    """Plan pins for the round-5 curation ops: pii/split/repetition are
+    per-row maps and must compile to ZERO exchanges (embarrassingly
+    parallel at any scale); pack_plan must carry exactly ONE exchange —
+    the window's hashpartitioning on the group column (no global sort)."""
+    import re
+
+    from openlogparse_spark.functions.curate import pack_plan, split_assign
+    from openlogparse_spark.functions.text import pii_scan, repetition_ratio
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [ln for ln in plan.splitlines()
+                if re.search(r"\bExchange\b", ln)]
+
+    assert exchanges(pii_scan(docs)) == []
+    assert exchanges(split_assign(docs.select("doc_id"))) == []
+    assert exchanges(repetition_ratio(docs)) == []
+
+    sized = docs.selectExpr("doc_id", "source", "n_chars AS n_tokens")
+    ex = exchanges(pack_plan(sized, context_len=512))
+    assert len(ex) == 1 and "hashpartitioning(source" in ex[0], ex
+    # and the grouped window must NOT degenerate to a single global sort
+    assert "singlepartition" not in ex[0].lower(), ex

@@ -218,6 +218,91 @@ def auto_n_planes(n_vectors: int, threshold: float, n_tables: int = 8,
     return min(k_recall, k_occup, hi)
 
 
+# above this corpus size the gather-dot kernel's driver collect + broadcast
+# of the full vector matrix stops being cheap (1M x 64 dims x 8B = 512 MB);
+# the JVM join-back scoring path takes over — it shuffles candidates by id
+# instead of holding the corpus in every worker.
+_GATHER_KERNEL_MAX_VECTORS = 1_000_000
+
+
+def _make_gather_dot_kernel(bc, dim: int, threshold: float | None,
+                            normalized: bool):
+    """mapInPandas kernel: (id_a, id_b) -> (id_a, id_b, dot).
+
+    `bc` broadcasts (sorted_ids, V) with V float64 (cast from the float32
+    storage exactly, as Catalyst's x.cast("double") does). The dot is a
+    STRICT LEFT FOLD vectorized across the batch — acc starts at 0.0 and
+    adds a_i*b_i in index order, the identical rounding sequence to the
+    F.aggregate(zip_with(...)) expression it replaces (products and sums are
+    IEEE ops in the same order -> bit-identical doubles), while running at
+    numpy speed instead of per-element interpreted lambda evaluation
+    (guide §4.2). The fold gathers from a TRANSPOSED copy of the matrix so
+    each of the `dim` passes reads one contiguous cache-resident row instead
+    of striding the whole gather block (measured: the strided form is pure
+    memory traffic, ~64x the useful bytes).
+
+    When `threshold` is given, the kernel drops rows that cannot possibly
+    survive the JVM's round(score,4) >= threshold filter, using a 1e-4
+    safety margin — round() moves a value by at most 5e-5 + an ulp, so no
+    surviving row is ever dropped; the EXACT filter still runs JVM-side on
+    what remains. Division, norms and round() stay in the JVM."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        ids_sorted, V = bc.value
+        VT = np.ascontiguousarray(V.T)          # (dim, n), rows cache-friendly
+        inv = None
+        if threshold is not None and not normalized:
+            nrm = np.sqrt(_np_sq_norm(VT, dim))
+            inv = 1.0 / nrm                      # pre-filter only, not exact
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = np.searchsorted(ids_sorted, pdf["id_a"].to_numpy(np.int64))
+            ib = np.searchsorted(ids_sorted, pdf["id_b"].to_numpy(np.int64))
+            acc = VT[0][ia] * VT[0][ib]
+            for d in range(1, dim):
+                acc += VT[d][ia] * VT[d][ib]
+            if threshold is not None:
+                est = acc if normalized else acc * (inv[ia] * inv[ib])
+                keep = est >= threshold - 1e-4
+                if not keep.all():
+                    pdf = pdf[keep]
+                    acc = acc[keep]
+            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                                "dot": acc})
+
+    return kernel
+
+
+def _np_sq_norm(VT, dim: int):
+    acc = VT[0] * VT[0]
+    for d in range(1, dim):
+        acc += VT[d] * VT[d]
+    return acc
+
+
+def _collect_vector_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """(sorted_ids int64, V float64[n, dim]) for a gather-dot broadcast, or
+    None when the corpus has ragged dims (caller falls back to the JVM
+    path)."""
+    import numpy as np
+
+    pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    ids = pdf["id"].to_numpy(np.int64)
+    try:
+        # float32 -> float64 is exact regardless of route, double passes
+        # through unchanged — matches Catalyst's x.cast("double") exactly
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+    except ValueError:
+        return None
+    if V.ndim != 2:
+        return None
+    order = np.argsort(ids, kind="stable")
+    return ids[order], V[order]
+
+
 def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       method: str = "brute",
@@ -235,6 +320,7 @@ def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
     buckets (multi-probe), then exact verification on vectors joined back by
     id — same sizing rules and scale rationale as lsh_cosine_topk."""
     sig = None
+    n = None
     if method == "brute":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -267,10 +353,60 @@ def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
                 *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
                   for j in range(n_planes)])
             s_b = s_b.select("id_b", "tbl", F.explode(probes).alias("bucket"))
-        pairs = (s_a.join(s_b, ["tbl", "bucket"])
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b")
-                 .dropDuplicates(["id_a", "id_b"]))
+        # explicit co-partitioning of the (tiny) join inputs: AQE sizes the
+        # post-shuffle stage from the INPUT bytes (~20 MB here) and would
+        # coalesce it to one task — but this stage EMITS ~180M candidate
+        # rows at sf1.0 and feeds the scoring kernel, so it must stay wide;
+        # user-specified partition counts are exempt from AQE coalescing
+        n_part = max(8, df.sparkSession.sparkContext.defaultParallelism * 2)
+        raw_pairs = (s_a.repartition(n_part, "tbl", "bucket")
+                     .join(s_b.repartition(n_part, "tbl", "bucket"),
+                           ["tbl", "bucket"])
+                     .filter(F.col("id_a") < F.col("id_b"))
+                     .select("id_a", "id_b"))
+        # On a low-threshold / near-uniform corpus the OR-amplified candidate
+        # set approaches all-pairs (measured at sf1.0: 184M joined rows, 121M
+        # DISTINCT pairs of a 200M-pair corpus) — deduping BEFORE scoring
+        # shuffles the whole candidate set (23s), and scoring via the
+        # interpreted aggregate/zip_with lambdas costs ~µs per pair. Instead:
+        # score every joined row in a vectorized gather-dot kernel against a
+        # broadcast copy of the (tiny) vector matrix, filter on the rounded
+        # score in the JVM, and dedupe only the survivors. Identical output:
+        # a pair's score is deterministic, so dedup before or after scoring
+        # keeps the same rows. Falls back to the join-back shape when the
+        # corpus is too large to broadcast or has ragged dims.
+        mat = None
+        if n is None:
+            from openlogparse_spark.functions.dedup import _cheap_count
+
+            n = _cheap_count(df.select(id_col))
+        if n is not None and n <= _GATHER_KERNEL_MAX_VECTORS:
+            mat = _collect_vector_matrix(df, id_col, vec_col)
+        if mat is not None:
+            dim = mat[1].shape[1]
+            bc = df.sparkSession.sparkContext.broadcast(mat)
+            kernel = _make_gather_dot_kernel(bc, dim, threshold, normalized)
+            dots = raw_pairs.mapInPandas(
+                kernel, schema="id_a long, id_b long, dot double")
+            if normalized:
+                score = F.col("dot")
+            else:
+                norms = df.select(F.col(id_col).alias("nid"),
+                                  _norm(F.col(vec_col)).alias("nrm"))
+                dots = (dots
+                        .join(F.broadcast(norms.select(
+                            F.col("nid").alias("id_a"),
+                            F.col("nrm").alias("na"))), "id_a")
+                        .join(F.broadcast(norms.select(
+                            F.col("nid").alias("id_b"),
+                            F.col("nrm").alias("nb"))), "id_b"))
+                score = F.col("dot") / (F.col("na") * F.col("nb"))
+            out = (dots.select("id_a", "id_b",
+                               F.round(score, 4).alias("score"))
+                   .filter(F.col("score") >= threshold)
+                   .dropDuplicates(["id_a", "id_b"]))
+            return release_on_gc(out, sig)
+        pairs = raw_pairs.dropDuplicates(["id_a", "id_b"])
         v = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
         cand = (pairs
                 .join(v.select(F.col("__vid").alias("id_a"),

@@ -193,9 +193,13 @@ def conv_outcomes(parsed, max_turns_per_conv: int | None = None,
         overflowed = 0          # ops seen past the cap for cur_conv
         first_turn = last_turn = None
 
-        def flush():
+        def flush(outs: list) -> None:
+            # appends (conv_id, rec) rows to `outs` — ONE DataFrame is built
+            # per Arrow batch below; the previous per-conversation
+            # pd.DataFrame + insert + concat cost ~15-30 µs x n_convs
+            # (~666k conversations at sf1.0 ≈ 10-20 s of pure allocation)
             if cur_conv is None:
-                return None
+                return
             if overflowed:
                 recs = [{
                     "xid": "?", "outcome": "overflow",
@@ -207,20 +211,22 @@ def conv_outcomes(parsed, max_turns_per_conv: int | None = None,
                 recs = replay_transactions(
                     [(t, o, {"txn": x, "rows": n}) for t, o, x, n in buf],
                     skip_xids=skip)
-            if not recs:
-                return None
-            out = pd.DataFrame(recs)
-            out.insert(0, "conv_id", cur_conv)
-            return out
+            for r in recs:
+                r["conv_id"] = cur_conv
+                outs.append(r)
+
+        cols = ["conv_id", "xid", "outcome", "n_ops", "total_rows",
+                "begin_turn", "end_turn"]
+
+        def frame(outs: list) -> pd.DataFrame:
+            return pd.DataFrame(outs, columns=cols)
 
         for pdf in batches:
-            outs = []
+            outs: list[dict] = []
             for c, t, o, x, n in zip(pdf["conv_id"], pdf["turn_idx"],
                                      pdf["op"], pdf["xid"], pdf["nrows"]):
                 if c != cur_conv:
-                    f = flush()
-                    if f is not None:
-                        outs.append(f)
+                    flush(outs)
                     cur_conv, buf, overflowed = c, [], 0
                     first_turn = t
                 last_turn = t
@@ -229,9 +235,10 @@ def conv_outcomes(parsed, max_turns_per_conv: int | None = None,
                 else:
                     buf.append((t, o, x, n))
             if outs:
-                yield pd.concat(outs, ignore_index=True)
-        f = flush()
-        if f is not None:
-            yield f
+                yield frame(outs)
+        outs = []
+        flush(outs)
+        if outs:
+            yield frame(outs)
 
     return slim.mapInPandas(run, schema=OUTCOME_SCHEMA)

@@ -231,14 +231,29 @@ def parse_stage(
     """
     if merge_pieces:
         df = merge_row_pieces(df)
+    cached = None
     if templates is None:
+        # fit+apply in one call: BOTH the mining aggregation (a broadcast
+        # subtree of the final plan) and the apply side read the merged —
+        # and for sql mode masked — rows. Without a persist the whole
+        # merge window + mask expression executes twice per action (the
+        # mask's transform() lambda is interpreted, so this doubling is the
+        # bulk of the stage: measured 2x at sf1.0). The broadcast job runs
+        # first within the action and fills the cache; the apply scan then
+        # reads it — no extra eager action needed. Released when the result
+        # DataFrame is garbage-collected (functions/cache.py).
+        from pyspark import StorageLevel
+
+        if mode == "sql" and "template" not in df.columns:
+            df = df.withColumn("template", F.expr(MASK_SQL_EXPR))
+        df = cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         templates = mine_template_table(df, min_support=min_support, mode=mode)
     if mode == "drain":
         out = _apply_templates_drain(df, templates)
     else:
         out = _apply_templates_sql(df, templates)
     kv = "filter(split(text, ' '), t -> instr(t, '=') > 0)"
-    return out.select(
+    out = out.select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         "template_id", "template", "op",
         F.map_from_arrays(
@@ -247,6 +262,11 @@ def parse_stage(
         ).alias("params"),
         F.col("template_id").isNotNull().alias("parse_ok"),
     )
+    if cached is not None:
+        from openlogparse_spark.functions.cache import release_on_gc
+
+        out = release_on_gc(out, cached)
+    return out
 
 
 def typed_params(df: DataFrame, spec: dict[str, str] | None = None,

@@ -149,13 +149,29 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
             from pyspark import StorageLevel
 
             from openlogparse_spark.parse import merge_row_pieces
-            from openlogparse_spark.parse.stage import MASK_SQL_EXPR
+            from openlogparse_spark.parse.stage import MASK_SQL_EXPR, mine_template_table
 
             merged = merge_row_pieces(transcripts)
             if cfg.parse_mode == "sql":
                 merged = merged.withColumn("template", F.expr(MASK_SQL_EXPR))
             masked = merged.persist(StorageLevel.MEMORY_AND_DISK)
-            parsed = parse_stage(masked, mode=cfg.parse_mode,
+            # mine the template table ONCE and pin it as a LITERAL relation:
+            # left lazy, the mining aggregation is embedded in every
+            # downstream consumer's plan as a broadcast subtree, and
+            # broadcast-exchange reuse only applies within one query — the
+            # route write plus each aggregate job would re-mine the whole
+            # corpus (measured: one extra full-cache aggregation pass per
+            # consumer at sf1.0, plus its codegen compile on first run).
+            # The table is tiny (distinct templates ≪ rows) and this collect
+            # doubles as the cache-fill action the masked view needs anyway
+            # (fusing cache-store into the big fan-out write measured ~25%
+            # slower e2e from memory pressure).
+            tmpl_plan = mine_template_table(
+                masked, min_support=cfg.min_support, mode=cfg.parse_mode)
+            templates = spark.createDataFrame(
+                tmpl_plan.collect(), schema=tmpl_plan.schema)
+            parsed = parse_stage(masked, templates=templates,
+                                 mode=cfg.parse_mode,
                                  min_support=cfg.min_support,
                                  merge_pieces=False)
             enriched = enrich_stage(parsed, dim_tools, dim_roles)
@@ -166,16 +182,6 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
                 rows = safe_count(spark, enriched_path)
                 man.record(cfg.run_id, "enrich", enriched_path, rows,
                            _dir_bytes(enriched_path), started=t0)
-            else:
-                # downstream stages re-derive the (cheap, CPU-only) broadcast
-                # joins + param extraction from the cached masked view —
-                # caching the narrower masked table once beats materializing
-                # the wide enriched table a second time. Fill the cache NOW
-                # as its own action: fusing cache-store into the big fan-out
-                # write makes one JVM carry cache-write + shuffle + sort +
-                # parquet-encode simultaneously (measured ~25% slower e2e at
-                # small executor counts from memory pressure).
-                masked.count()
             timings["parse_enrich"] = time.time() - t0
 
     if cfg.materialize_enriched:

@@ -34,10 +34,31 @@ TRANSCRIPT_SCHEMA = (
 
 
 def stream_source(spark: SparkSession, input_dir: str,
-                  schema: str = TRANSCRIPT_SCHEMA) -> DataFrame:
+                  schema: str = TRANSCRIPT_SCHEMA,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File stream over `input_dir`.
+
+    `max_files_per_trigger=None` sizes the micro-batch from the files ALREADY
+    in the directory: ~4 triggers to drain the backlog, floor 4 files. A
+    constant (the old hard-coded 4) is tuned for one corpus size only — at
+    sf1.0 (51 files) it forced 13 micro-batches, each paying planning + a
+    state-store load/commit per shuffle partition + a checkpoint write
+    (~1.7 s/batch of pure overhead, 60% of the drain wall). Keeping ~4
+    triggers preserves multi-batch semantics (watermark advancement,
+    event-time timers firing mid-drain) at every scale while batch size
+    grows with the backlog."""
+    if max_files_per_trigger is None:
+        import os as _os
+
+        try:
+            n_files = sum(1 for f in _os.listdir(input_dir)
+                          if f.endswith(".parquet"))
+        except OSError:
+            n_files = 0
+        max_files_per_trigger = max(4, -(-n_files // 4))
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 

@@ -122,6 +122,131 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 # up the expression tree; fall back to the anti-join + window plan instead
 _HOT_SHINGLE_LITERAL_LIMIT = 1024
 
+# jaccard_pairs inverted-index kernel guard: the exact-pairwise operator is
+# the documented small/medium-corpus path (minhash_lsh_pairs is the web-scale
+# one), so up to this many documents the whole (doc, shingle) incidence —
+# ~n_docs x ~50 rows of small ints after factorization — is collected once,
+# broadcast as a CSR inverted index, and candidate counting runs as a per-doc
+# posting-list merge in numpy. Above it (or on a derived lineage whose size
+# is unknowable without an eager pass) the shingle self-join plan runs
+# instead — no blind driver collects.
+_JACCARD_INDEX_MAX_DOCS = 200_000
+
+
+def _jaccard_index_pairs(sets: DataFrame, threshold: float,
+                         max_shingle_df: int | None) -> DataFrame:
+    """Exact jaccard pairs via a broadcast CSR inverted index.
+
+    Replaces the shingle self-join + pair aggregation (measured at sf1.0:
+    127M joined rows into a ~40M-group hash aggregate, 10-20 s) with: one
+    collect of the factorized (doc, shingle) incidence (2.6M rows, ~40 MB),
+    and a mapInPandas kernel where each task walks its documents' posting
+    lists — Σ df(s)²/2 integer appends, the same asymptotic work as the join,
+    at numpy speed and with NO pair shuffle at all (only above-threshold
+    survivors leave the kernel). The df cap drops over-cap shingles from
+    every document before sizes are taken — byte-identical semantics to the
+    array_except branch. The kernel emits integer (n_inter, sz_a, sz_b) with
+    a conservative raw-ratio margin; the exact round(·,6) >= threshold
+    filter runs JVM-side, so the output is bit-identical to the join plan."""
+    import logging
+
+    import numpy as np
+
+    spark = sets.sparkSession
+    pdf = sets.select("id", F.explode_outer("sh_arr").alias("shingle")).toPandas()
+    # docs with empty sets surface as a NULL shingle row — they cannot pair
+    null_mask = pdf["shingle"].notna()
+    ids_all = pdf["id"].to_numpy(np.int64)
+    import pandas as pd
+
+    codes, _uniq = pd.factorize(pdf["shingle"][null_mask], sort=False)
+    doc_codes, uniq_ids = pd.factorize(ids_all[null_mask.to_numpy()], sort=False)
+    uniq_ids = np.asarray(uniq_ids, dtype=np.int64)
+    # local doc index in ascending doc-id order so j > i  <=>  id_b > id_a
+    order = np.argsort(uniq_ids, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    ids_sorted = uniq_ids[order]
+    d = rank[doc_codes].astype(np.int64)
+    s = codes.astype(np.int64)
+    n_sh = int(s.max()) + 1 if len(s) else 0
+    if max_shingle_df is not None and n_sh:
+        df_counts = np.bincount(s, minlength=n_sh)
+        hot = df_counts > max_shingle_df
+        if hot.any():
+            logging.getLogger(__name__).warning(
+                "jaccard_pairs: df cap %d drops %d distinct shingles",
+                max_shingle_df, int(hot.sum()))
+            keep = ~hot[s]
+            d, s = d[keep], s[keep]
+    n_docs = len(ids_sorted)
+    sizes = np.bincount(d, minlength=n_docs).astype(np.int64)
+    # postings: for each shingle, ascending doc indices
+    po = np.lexsort((d, s))
+    post_docs = d[po].astype(np.int32)
+    post_off = np.concatenate(([0], np.cumsum(np.bincount(s[po], minlength=n_sh)))).astype(np.int64)
+    # doc -> its shingle ids
+    do = np.argsort(d, kind="stable")
+    doc_sh = s[do].astype(np.int32)
+    doc_off = np.concatenate(([0], np.cumsum(sizes))).astype(np.int64)
+    bc = spark.sparkContext.broadcast(
+        (ids_sorted, sizes, post_docs, post_off, doc_sh, doc_off))
+    margin = threshold - 1e-6   # round(x,6) moves x by <= 5e-7 + ulp
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        idx = bc.value
+        ids_s, sz, pdocs, poff, dsh, doff = idx
+        out_a, out_b, out_i, out_sa, out_sb = [], [], [], [], []
+        for bdf in batches:
+            for i in bdf.column(0).to_numpy():
+                lo, hi = doff[i], doff[i + 1]
+                if hi == lo:
+                    continue
+                parts = []
+                for sh_id in dsh[lo:hi]:
+                    p0, p1 = poff[sh_id], poff[sh_id + 1]
+                    seg = pdocs[p0:p1]
+                    # only partners j > i (each pair counted once, by its
+                    # smaller-id side)
+                    k = np.searchsorted(seg, i, side="right")
+                    if k < len(seg):
+                        parts.append(seg[k:])
+                if not parts:
+                    continue
+                cat = np.concatenate(parts)
+                u, c = np.unique(cat, return_counts=True)
+                raw = c / (sz[i] + sz[u] - c)
+                keep = raw >= margin
+                if not keep.any():
+                    continue
+                u, c = u[keep], c[keep]
+                out_a.append(np.full(len(u), ids_s[i]))
+                out_b.append(ids_s[u])
+                out_i.append(c)
+                out_sa.append(np.full(len(u), sz[i]))
+                out_sb.append(sz[u])
+        if out_a:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(a).astype(np.int64, copy=False))
+                 for a in (out_a, out_b, out_i, out_sa, out_sb)],
+                ["id_a", "id_b", "n_inter", "sz_a", "sz_b"])
+
+    par = max(8, spark.sparkContext.defaultParallelism * 2)
+    docs_df = spark.range(n_docs).toDF("i").repartition(par)
+    cand = docs_df.mapInArrow(
+        kernel,
+        schema="id_a long, id_b long, n_inter long, sz_a long, sz_b long")
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id",
@@ -165,6 +290,17 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     # persisted sets below (one job that doubles as the cache warm-up),
     # never an eager count of the raw lineage.
     n_docs = _cheap_count(df) if max_shingle_df is not None else None
+    if n_docs is not None and n_docs <= _JACCARD_INDEX_MAX_DOCS:
+        # small/medium corpus with a knowable size: broadcast inverted-index
+        # kernel — no self-join, no pair shuffle, no probe job, no persist.
+        # Only reached for CAPPED builds on bare scans, which were already
+        # eager at build time (the cap probe); the uncapped call keeps its
+        # fully-lazy join plan (pinned by
+        # test_jaccard_probe_goes_through_the_cache).
+        if n_docs <= max_shingle_df:
+            max_shingle_df = None
+        sets = _shingle_sets(_widen(df), n, text_col, id_col)
+        return _jaccard_index_pairs(sets, threshold, max_shingle_df)
     if n_docs is not None and n_docs <= max_shingle_df:
         max_shingle_df = None
     sets = _shingle_sets(_widen(df), n, text_col, id_col)
@@ -554,7 +690,7 @@ def _make_simhash_verify_kernel(n_chunks: int, widths: list[int],
     dropDuplicates (a shuffle of EVERY candidate row — ~1.1e9 at sf1.0)
     disappears entirely."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     offs = np.array(offsets, dtype=np.uint64)
     masks = np.array([(1 << w) - 1 for w in widths], dtype=np.uint64)
@@ -565,11 +701,13 @@ def _make_simhash_verify_kernel(n_chunks: int, widths: list[int],
         parts = list(batches)
         if not parts:
             return
-        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        ids = pdf["id"].to_numpy(np.int64)
-        fp = pdf["simhash"].to_numpy(np.int64).view(np.uint64)
-        chunk = pdf["chunk"].to_numpy(np.int64)
-        cv = pdf["cv"].to_numpy(np.int64)
+        cols = [np.concatenate([rb.column(k).to_numpy() for rb in parts])
+                if len(parts) > 1 else parts[0].column(k).to_numpy()
+                for k in range(4)]
+        ids = cols[0].astype(np.int64, copy=False)
+        fp = cols[1].astype(np.int64, copy=False).view(np.uint64)
+        chunk = cols[2].astype(np.int64, copy=False)
+        cv = cols[3].astype(np.int64, copy=False)
         order = np.lexsort((cv, chunk))
         chunk_s, cv_s = chunk[order], cv[order]
         bounds = np.flatnonzero(
@@ -577,6 +715,7 @@ def _make_simhash_verify_kernel(n_chunks: int, widths: list[int],
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(order)]))
         out_a, out_b, out_h = [], [], []
+        bit_cols = np.arange(64, dtype=np.uint64)[None, :]
         for lo, hi in zip(starts, ends):
             m = hi - lo
             if m < 2:
@@ -588,14 +727,30 @@ def _make_simhash_verify_kernel(n_chunks: int, widths: list[int],
                 kc1, kc2 = key, None
             else:
                 kc1, kc2 = divmod(key, n_chunks)
+            # Hamming via a ±1 GEMM for all but tiny buckets: unpack each
+            # fingerprint to a ±1 float32 row; dot(a,b) = 64 - 2*hamming,
+            # integer-valued in fp32 (|sums| <= 64 << 2^24), so the test is
+            # EXACT. Measured 46.9 s single-core of SWAR popcount at sf1.0
+            # (memory-bound: ~11 full-matrix passes) vs ~15 GFLOP/s BLAS —
+            # ~4x less kernel time. Tiny buckets keep the SWAR path (GEMM
+            # call overhead dominates below ~64 rows).
+            use_gemm = m >= 64
+            if use_gemm:
+                pm1 = np.where(
+                    ((g_fp[:, None] >> bit_cols) & np.uint64(1)).astype(bool),
+                    np.float32(1), np.float32(-1))
+                s_min = np.float32(64 - 2 * max_hamming)
             for i0 in range(0, m, block):
                 i1 = min(i0 + block, m)
                 # upper triangle only: row i is compared against j > i, so
-                # the XOR block spans columns i0+1.. (half the full-matrix
-                # popcount traffic)
-                tail = g_fp[i0 + 1:]
-                h = _popcount64(g_fp[i0:i1, None] ^ tail[None, :])
-                hit = h <= max_hamming
+                # the block spans columns i0+1..
+                if use_gemm:
+                    S = pm1[i0:i1] @ pm1[i0 + 1:].T
+                    hit = S >= s_min
+                else:
+                    tail = g_fp[i0 + 1:]
+                    h = _popcount64(g_fp[i0:i1, None] ^ tail[None, :])
+                    hit = h <= max_hamming
                 # mask j <= i within the block's own triangle
                 r = np.arange(i1 - i0)
                 hit &= np.arange(i0 + 1, m)[None, :] > (i0 + r)[:, None]
@@ -621,13 +776,17 @@ def _make_simhash_verify_kernel(n_chunks: int, widths: list[int],
                 ia, ib = g_ids[gi[keep]], g_ids[gj[keep]]
                 out_a.append(np.minimum(ia, ib))
                 out_b.append(np.maximum(ia, ib))
-                out_h.append(h[bi[keep], bj[keep]].astype(np.int32))
+                if use_gemm:
+                    ham = ((64.0 - S[bi[keep], bj[keep]]) * 0.5)
+                else:
+                    ham = h[bi[keep], bj[keep]]
+                out_h.append(ham.astype(np.int32))
         if out_a:
-            yield pd.DataFrame({
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "hamming": np.concatenate(out_h),
-            })
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_a)),
+                 pa.array(np.concatenate(out_b)),
+                 pa.array(np.concatenate(out_h))],
+                ["id_a", "id_b", "hamming"])
 
     return kernel
 
@@ -719,5 +878,5 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     kernel = _make_simhash_verify_kernel(
         n_chunks, widths, offsets, agree_chunks, max_hamming)
     out = (chunked.repartition(n_part, "chunk", "cv")
-           .mapInPandas(kernel, schema="id_a long, id_b long, hamming int"))
+           .mapInArrow(kernel, schema="id_a long, id_b long, hamming int"))
     return release_on_gc(out, *cached) if cached else out

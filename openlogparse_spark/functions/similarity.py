@@ -225,62 +225,122 @@ def auto_n_planes(n_vectors: int, threshold: float, n_tables: int = 8,
 _GATHER_KERNEL_MAX_VECTORS = 1_000_000
 
 
-def _make_gather_dot_kernel(bc, dim: int, threshold: float | None,
-                            normalized: bool):
-    """mapInPandas kernel: (id_a, id_b) -> (id_a, id_b, dot).
+def _lsh_block_pairs(df: DataFrame, mat, n_planes: int, n_tables: int,
+                     multiprobe: int, seed: int, threshold: float,
+                     normalized: bool, id_col: str, vec_col: str) -> DataFrame:
+    """LSH near-pair candidates + scoring as per-bucket-block GEMMs.
 
-    `bc` broadcasts (sorted_ids, V) with V float64 (cast from the float32
-    storage exactly, as Catalyst's x.cast("double") does). The dot is a
-    STRICT LEFT FOLD vectorized across the batch — acc starts at 0.0 and
-    adds a_i*b_i in index order, the identical rounding sequence to the
-    F.aggregate(zip_with(...)) expression it replaces (products and sums are
-    IEEE ops in the same order -> bit-identical doubles), while running at
-    numpy speed instead of per-element interpreted lambda evaluation
-    (guide §4.2). The fold gathers from a TRANSPOSED copy of the matrix so
-    each of the `dim` passes reads one contiguous cache-resident row instead
-    of striding the whole gather block (measured: the strided form is pure
-    memory traffic, ~64x the useful bytes).
-
-    When `threshold` is given, the kernel drops rows that cannot possibly
-    survive the JVM's round(score,4) >= threshold filter, using a 1e-4
-    safety margin — round() moves a value by at most 5e-5 + an ulp, so no
-    surviving row is ever dropped; the EXACT filter still runs JVM-side on
-    what remains. Division, norms and round() stay in the JVM."""
+    The join formulation was measured (event-log task metrics, sf1.0) at
+    ~1000 executor-core-seconds — almost all of it producing and
+    Arrow-serializing the 184M candidate rows into the Python scorer, not
+    computing. Same semantics, zero candidate materialization: buckets are
+    computed ONCE by the same JVM `hyperplane_buckets` expression (no hash
+    reimplementation to drift), collected (narrow: one (id, tbl, bucket)
+    row per table per vector), and broadcast together with the vector
+    matrix; each task then scores whole bucket-pair blocks — every
+    (exact, Hamming-1) bucket pair of every table, each unordered pair once
+    — with a float32 GEMM of normalized vectors. Candidates that clear a
+    conservative margin (2e-4: fp32 GEMM error ≤ ~2.5e-5 for unit vectors
+    plus round()'s 5.1e-5 never exceeds it) are re-scored with the exact
+    float64 left fold, and the JVM applies the identical round/threshold
+    filter + survivor dedup as before, so the output is bit-identical to
+    the join plan (pinned by test_lsh_gemm_path_matches_join_plan)."""
     import numpy as np
-    import pandas as pd
+
+    spark = df.sparkSession
+    ids_sorted, V = mat
+    sig_pdf = hyperplane_buckets(
+        df, n_planes, n_tables, id_col, vec_col, seed).toPandas()
+    tb = sig_pdf["tbl"].to_numpy(np.int64)
+    bk = sig_pdf["bucket"].to_numpy(np.int64)
+    rid = np.searchsorted(ids_sorted, sig_pdf["id"].to_numpy(np.int64))
+    o = np.lexsort((rid, bk, tb))
+    tb, bk, rid = tb[o], bk[o], rid[o].astype(np.int64)
+    bnd = np.flatnonzero((np.diff(tb) != 0) | (np.diff(bk) != 0)) + 1
+    starts = np.concatenate(([0], bnd)).astype(np.int64)
+    ends = np.concatenate((bnd, [len(tb)])).astype(np.int64)
+    key_t, key_b = tb[starts], bk[starts]
+    lookup = {(int(t), int(b)): int(k)
+              for k, (t, b) in enumerate(zip(key_t, key_b))}
+    if normalized:
+        Vm = V.astype(np.float64)       # raw-dot margin needs f64 headroom
+        gemm_dtype = np.float64
+    else:
+        nrm = np.sqrt((V * V).sum(axis=1))
+        safe = np.where(nrm > 0, nrm, 1.0)
+        Vm = (V / safe[:, None]).astype(np.float32)
+        gemm_dtype = np.float32
+    margin = np.array(threshold - 2e-4, dtype=gemm_dtype)
+    bc = spark.sparkContext.broadcast(
+        (ids_sorted, V, Vm, rid, starts, ends, key_t, key_b, lookup))
+    dim = V.shape[1]
 
     def kernel(batches):
-        ids_sorted, V = bc.value
-        VT = np.ascontiguousarray(V.T)          # (dim, n), rows cache-friendly
-        inv = None
-        if threshold is not None and not normalized:
-            nrm = np.sqrt(_np_sq_norm(VT, dim))
-            inv = 1.0 / nrm                      # pre-filter only, not exact
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ia = np.searchsorted(ids_sorted, pdf["id_a"].to_numpy(np.int64))
-            ib = np.searchsorted(ids_sorted, pdf["id_b"].to_numpy(np.int64))
-            acc = VT[0][ia] * VT[0][ib]
-            for d in range(1, dim):
-                acc += VT[d][ia] * VT[d][ib]
-            if threshold is not None:
-                est = acc if normalized else acc * (inv[ia] * inv[ib])
-                keep = est >= threshold - 1e-4
-                if not keep.all():
-                    pdf = pdf[keep]
-                    acc = acc[keep]
-            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
-                                "dot": acc})
+        import pyarrow as pa
 
-    return kernel
+        ids_s, Vf, Vmm, rid_, st, en, kt, kb, lk = bc.value
+        out_a, out_b, out_d = [], [], []
+        for rb in batches:
+            for ki in rb.column(0).to_numpy():
+                t, b = int(kt[ki]), int(kb[ki])
+                A = rid_[st[ki]:en[ki]]
+                MA = Vmm[A]
+                blocks = [(A, True)]
+                if multiprobe:
+                    for j in range(n_planes):
+                        nb = b ^ (1 << j)
+                        if nb > b and (t, nb) in lk:
+                            kj = lk[(t, nb)]
+                            blocks.append((rid_[st[kj]:en[kj]], False))
+                for B, is_self in blocks:
+                    S = MA @ (MA.T if is_self else Vmm[B].T)
+                    hit = S >= margin
+                    if is_self:
+                        # members ascend by row index -> strict upper
+                        # triangle == id_a < id_b exactly once
+                        hit &= np.triu(np.ones(S.shape, dtype=bool), k=1)
+                    bi, bj = np.nonzero(hit)
+                    if not len(bi):
+                        continue
+                    ra, rbj = A[bi], (A if is_self else B)[bj]
+                    lo = np.minimum(ra, rbj)
+                    hi = np.maximum(ra, rbj)
+                    # exact rescore: float64 strict left fold, identical
+                    # IEEE sequence to the original JVM expression
+                    acc = Vf[lo, 0] * Vf[hi, 0]
+                    for d in range(1, dim):
+                        acc += Vf[lo, d] * Vf[hi, d]
+                    out_a.append(ids_s[lo])
+                    out_b.append(ids_s[hi])
+                    out_d.append(acc)
+        if out_a:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_a)),
+                 pa.array(np.concatenate(out_b)),
+                 pa.array(np.concatenate(out_d))],
+                ["id_a", "id_b", "dot"])
 
-
-def _np_sq_norm(VT, dim: int):
-    acc = VT[0] * VT[0]
-    for d in range(1, dim):
-        acc += VT[d] * VT[d]
-    return acc
+    par = max(8, spark.sparkContext.defaultParallelism * 2)
+    keys_df = spark.range(len(starts)).toDF("k").repartition(
+        min(par, max(1, len(starts))))
+    dots = keys_df.mapInArrow(
+        kernel, schema="id_a long, id_b long, dot double")
+    if normalized:
+        score = F.col("dot")
+    else:
+        norms = df.select(F.col(id_col).alias("nid"),
+                          _norm(F.col(vec_col)).alias("nrm"))
+        dots = (dots
+                .join(F.broadcast(norms.select(F.col("nid").alias("id_a"),
+                                               F.col("nrm").alias("na"))),
+                      "id_a")
+                .join(F.broadcast(norms.select(F.col("nid").alias("id_b"),
+                                               F.col("nrm").alias("nb"))),
+                      "id_b"))
+        score = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (dots.select("id_a", "id_b", F.round(score, 4).alias("score"))
+            .filter(F.col("score") >= threshold)
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def _collect_vector_matrix(df: DataFrame, id_col: str, vec_col: str):
@@ -343,6 +403,24 @@ def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
                     "plan — pass n_planes explicitly (auto-sizing would "
                     "require an eager count over the whole upstream lineage)")
             n_planes = auto_n_planes(n, threshold, n_tables)
+        # On a low-threshold / near-uniform corpus the OR-amplified candidate
+        # set approaches all-pairs (measured at sf1.0: 184M joined rows, 121M
+        # DISTINCT pairs of a 200M-pair corpus), and producing them through a
+        # join dominates the whole query. When the corpus fits a broadcast
+        # (size-guarded), skip candidate materialization entirely: the
+        # bucket-block GEMM kernel scores every (exact, Hamming-1) bucket
+        # pair in place and only above-threshold survivors leave the tasks.
+        mat = None
+        if n is None:
+            from openlogparse_spark.functions.dedup import _cheap_count
+
+            n = _cheap_count(df.select(id_col))
+        if n is not None and n <= _GATHER_KERNEL_MAX_VECTORS:
+            mat = _collect_vector_matrix(df, id_col, vec_col)
+        if mat is not None:
+            return _lsh_block_pairs(df, mat, n_planes, n_tables, multiprobe,
+                                    seed, threshold, normalized,
+                                    id_col, vec_col)
         sig = hyperplane_buckets(df, n_planes, n_tables, id_col, vec_col, seed)
         sig = sig.persist()   # self-join: compute bucket hashes once, not twice
         s_a = sig.select(F.col("id").alias("id_a"), "tbl", "bucket")
@@ -353,60 +431,10 @@ def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
                 *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
                   for j in range(n_planes)])
             s_b = s_b.select("id_b", "tbl", F.explode(probes).alias("bucket"))
-        # explicit co-partitioning of the (tiny) join inputs: AQE sizes the
-        # post-shuffle stage from the INPUT bytes (~20 MB here) and would
-        # coalesce it to one task — but this stage EMITS ~180M candidate
-        # rows at sf1.0 and feeds the scoring kernel, so it must stay wide;
-        # user-specified partition counts are exempt from AQE coalescing
-        n_part = max(8, df.sparkSession.sparkContext.defaultParallelism * 2)
-        raw_pairs = (s_a.repartition(n_part, "tbl", "bucket")
-                     .join(s_b.repartition(n_part, "tbl", "bucket"),
-                           ["tbl", "bucket"])
-                     .filter(F.col("id_a") < F.col("id_b"))
-                     .select("id_a", "id_b"))
-        # On a low-threshold / near-uniform corpus the OR-amplified candidate
-        # set approaches all-pairs (measured at sf1.0: 184M joined rows, 121M
-        # DISTINCT pairs of a 200M-pair corpus) — deduping BEFORE scoring
-        # shuffles the whole candidate set (23s), and scoring via the
-        # interpreted aggregate/zip_with lambdas costs ~µs per pair. Instead:
-        # score every joined row in a vectorized gather-dot kernel against a
-        # broadcast copy of the (tiny) vector matrix, filter on the rounded
-        # score in the JVM, and dedupe only the survivors. Identical output:
-        # a pair's score is deterministic, so dedup before or after scoring
-        # keeps the same rows. Falls back to the join-back shape when the
-        # corpus is too large to broadcast or has ragged dims.
-        mat = None
-        if n is None:
-            from openlogparse_spark.functions.dedup import _cheap_count
-
-            n = _cheap_count(df.select(id_col))
-        if n is not None and n <= _GATHER_KERNEL_MAX_VECTORS:
-            mat = _collect_vector_matrix(df, id_col, vec_col)
-        if mat is not None:
-            dim = mat[1].shape[1]
-            bc = df.sparkSession.sparkContext.broadcast(mat)
-            kernel = _make_gather_dot_kernel(bc, dim, threshold, normalized)
-            dots = raw_pairs.mapInPandas(
-                kernel, schema="id_a long, id_b long, dot double")
-            if normalized:
-                score = F.col("dot")
-            else:
-                norms = df.select(F.col(id_col).alias("nid"),
-                                  _norm(F.col(vec_col)).alias("nrm"))
-                dots = (dots
-                        .join(F.broadcast(norms.select(
-                            F.col("nid").alias("id_a"),
-                            F.col("nrm").alias("na"))), "id_a")
-                        .join(F.broadcast(norms.select(
-                            F.col("nid").alias("id_b"),
-                            F.col("nrm").alias("nb"))), "id_b"))
-                score = F.col("dot") / (F.col("na") * F.col("nb"))
-            out = (dots.select("id_a", "id_b",
-                               F.round(score, 4).alias("score"))
-                   .filter(F.col("score") >= threshold)
-                   .dropDuplicates(["id_a", "id_b"]))
-            return release_on_gc(out, sig)
-        pairs = raw_pairs.dropDuplicates(["id_a", "id_b"])
+        pairs = (s_a.join(s_b, ["tbl", "bucket"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b")
+                 .dropDuplicates(["id_a", "id_b"]))
         v = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
         cand = (pairs
                 .join(v.select(F.col("__vid").alias("id_a"),

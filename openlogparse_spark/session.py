@@ -21,6 +21,13 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # one BLAS thread per python worker: kernel stages run one worker per
+    # task slot, so BLAS-internal threading (OpenBLAS defaults to nproc)
+    # would oversubscribe 32 tasks x 32 threads. Set in the DRIVER env
+    # before the JVM forks the python daemon (local mode inherits it);
+    # spark.executorEnv covers real clusters below.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
@@ -35,6 +42,8 @@ def get_spark(
         # multi-JVM local-cluster executors need the package importable in
         # their python workers (a real cluster ships it via --py-files)
         .config("spark.executorEnv.PYTHONPATH", repo_root)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -61,6 +70,17 @@ def get_spark(
         # and multi-sink writes (idempotence is supplied by our Committer
         # rename layer above the job, not by the in-job protocol)
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # Arrow batch sizing for the vectorized kernels: the 10k-row default
+        # makes narrow-row stages batch-overhead-bound — measured on the
+        # 184M-row LSH scoring stage: 18.4k batches cost ~11 ms each in
+        # Python (pandas wrap + conversions) vs 2.6 ms of actual compute,
+        # plus matching per-batch cost JVM-side. 128k-row batches amortize
+        # the fixed cost ~13x; maxBytesPerBatch caps the rare wide-row case
+        # (payload columns) so big batches can't balloon worker memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", str(128 * 1024)))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(64 * 1024 * 1024))
     )
     # co-hosted multi-executor benches share ONE local disk for shuffle — a
     # sandbox artifact (real cluster nodes have their own disks). Point

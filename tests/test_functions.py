@@ -278,7 +278,9 @@ def test_selfjoin_caches_released(spark, docs):
         return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
     base = n_cached()
-    res = jaccard_pairs(docs, n=3, threshold=0.5)
+    # max_shingle_df=None keeps the lazy self-join plan (the capped
+    # bare-scan build now routes to the cache-free inverted-index kernel)
+    res = jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
     res.collect()
     assert n_cached() == base + 1
     res.release_cached_inputs()          # eager hook
@@ -289,6 +291,55 @@ def test_selfjoin_caches_released(spark, docs):
     del res2                             # GC path: result dropped => released
     gc.collect()
     assert n_cached() == base
+    # the kernel path leaves nothing cached at all
+    res3 = jaccard_pairs(docs, n=3, threshold=0.5)
+    res3.collect()
+    assert n_cached() == base
+
+
+def test_lsh_gemm_path_matches_join_plan(spark):
+    """cosine_near_pairs(method='lsh') bucket-block GEMM path must return
+    EXACTLY the join plan's rows — same pairs, bit-identical rounded scores
+    (the GEMM is only a margin pre-filter; survivors are re-scored with the
+    exact float64 fold and filtered JVM-side)."""
+    from openlogparse_spark.functions import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    gemm = {(r["id_a"], r["id_b"]): r["score"]
+            for r in sim.cosine_near_pairs(emb, threshold=0.35,
+                                           method="lsh").collect()}
+    old_lim = sim._GATHER_KERNEL_MAX_VECTORS
+    sim._GATHER_KERNEL_MAX_VECTORS = -1   # force the join plan
+    try:
+        join = {(r["id_a"], r["id_b"]): r["score"]
+                for r in sim.cosine_near_pairs(emb, threshold=0.35,
+                                               method="lsh").collect()}
+    finally:
+        sim._GATHER_KERNEL_MAX_VECTORS = old_lim
+    assert gemm == join
+    assert len(gemm) > 0
+
+
+def test_jaccard_index_kernel_matches_join_plan(spark, docs):
+    """The broadcast inverted-index kernel (bare-scan capped builds) must
+    return EXACTLY the join plan's rows — same pairs, bit-identical rounded
+    jaccard — including when the df cap binds."""
+    from openlogparse_spark.functions import dedup as dd
+
+    for cap in (10_000, 40):   # cap inert / cap binds (fixture max df > 40)
+        kern = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in jaccard_pairs(docs, n=3, threshold=0.2,
+                                       max_shingle_df=cap).collect()}
+        old_lim = dd._JACCARD_INDEX_MAX_DOCS
+        dd._JACCARD_INDEX_MAX_DOCS = -1   # force the self-join plan
+        try:
+            join = {(r["id_a"], r["id_b"]): r["jaccard"]
+                    for r in jaccard_pairs(docs, n=3, threshold=0.2,
+                                           max_shingle_df=cap).collect()}
+        finally:
+            dd._JACCARD_INDEX_MAX_DOCS = old_lim
+        assert kern == join, f"cap={cap}"
+    assert len(kern) > 0
 
 
 def test_cdc_changed_to_null_kept_in_wire_image(spark):

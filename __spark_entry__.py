@@ -592,10 +592,12 @@ def _curation_funnel(spark, sf_dir):
     from openlogparse_spark.functions.curate import curation_funnel
 
     docs = _t(spark, sf_dir, "documents")
+    # max_shingle_df=None: the DuckDB twin models no df cap, so the capped
+    # default would diverge on a corpus where the cap binds (ADVICE r5)
     return curation_funnel(docs, jaccard_n=3, jaccard_threshold=0.2,
                            min_quality=0.5,
                            weights={"train": 0.9, "val": 0.05, "test": 0.05},
-                           salt="v1")
+                           salt="v1", max_shingle_df=None)
 
 
 _CURATION_FUNNEL_SQL = """

@@ -52,7 +52,13 @@ def split_assign(df: DataFrame, weights: dict[str, float] | None = None,
     cum = 0.0
     for name in names[:-1]:
         cum += weights[name] / total
-        thr = format(int(cum * _HEX_SPACE), "08x")
+        # clamp: a non-final bucket whose cumulative ratio reaches 1.0
+        # (e.g. {'train': 1.0, 'test': 0.0}) would format as the 9-char
+        # '100000000', and the lexicographic compare against 8-char keys
+        # silently routes ~94% of docs into the zero-weight last bucket
+        # (ADVICE r5). Clamping to the max 8-char key keeps every key below
+        # the threshold, i.e. 100% in the full bucket.
+        thr = format(min(int(cum * _HEX_SPACE), _HEX_SPACE - 1), "08x")
         cond = key < F.lit(thr)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(out_col, expr.otherwise(names[-1]))
@@ -63,7 +69,8 @@ def curation_funnel(df: DataFrame, text_col: str = "text",
                     jaccard_threshold: float = 0.2,
                     min_quality: float = 0.5,
                     weights: dict[str, float] | None = None,
-                    salt: str = "v1") -> DataFrame:
+                    salt: str = "v1",
+                    max_shingle_df: int | None = 10_000) -> DataFrame:
     """End-to-end curation funnel: raw -> exact-dedup keep-one -> transitive
     near-dup keep-one -> quality floor -> deterministic splits. Returns the
     tiny (stage, n_docs) conservation table a 100 TB curation run reports per
@@ -86,8 +93,13 @@ def curation_funnel(df: DataFrame, text_col: str = "text",
     n_exact = surv.select(F.lit("10_exact_unique").alias("stage"),
                           F.count("*").cast("long").alias("n"))
 
+    # max_shingle_df exposed (ADVICE r5): the oracle-checked entry passes
+    # None because its DuckDB twin models no df cap — with the default cap a
+    # >10k-doc corpus holding a >10k-df shingle would silently diverge from
+    # an uncapped oracle
     pairs = jaccard_pairs(surv, n=jaccard_n, threshold=jaccard_threshold,
-                          text_col=text_col, id_col=id_col)
+                          text_col=text_col, id_col=id_col,
+                          max_shingle_df=max_shingle_df)
     comp = dup_components(pairs, all_ids=surv.select(id_col))
     # component label = min reachable doc id, i.e. the representative itself
     reps = comp.select(F.col("component").alias(id_col)).distinct()

@@ -693,6 +693,15 @@ def test_split_assign_deterministic_and_proportional(spark):
     assert resalted != a, "salt rotation must re-roll assignments"
     with pytest.raises(ValueError, match="2 buckets"):
         split_assign(ids, weights={"all": 1.0})
+    # a full-weight non-final bucket must take (essentially) everything:
+    # the unclamped threshold formatted as 9-char '100000000' and the
+    # lexicographic compare silently sent ~94% to the zero-weight bucket
+    # (ADVICE r5)
+    full = {r["doc_id"]: r["split"]
+            for r in split_assign(ids, weights={"train": 1.0,
+                                                "test": 0.0}).collect()}
+    frac = sum(1 for v in full.values() if v == "train") / len(full)
+    assert frac > 0.999
 
 
 def test_curation_funnel_conservation(spark):
